@@ -1,0 +1,240 @@
+"""Geometry kernels: quads, polygon IoU, NMS, line stitching, reading order.
+
+Pure numpy reimplementations of the reference's per-image geometry (no cv2,
+no shapely, no pyclipper):
+
+- ``sort_vertex8``      — ``mmocr/datasets/pipelines/box_utils.py:6-54``
+- ``poly_iou`` family   — ``mmocr/core/evaluation/utils.py:96-210``
+- ``poly_nms``          — ``mmocr/models/textdet/postprocess/wrapper.py:477-498``
+- ``stitch_boxes_into_lines`` / ``is_on_same_line``
+                        — ``mmocr/utils/box_util.py:4-117``
+- ``crop_quad``         — ``mmocr/datasets/pipelines/crop.py:86-124``
+
+All functions are deterministic with stable (score, index) tie-breaks so the
+pipeline is bit-stable across parallelism levels.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def quad_to_rect(quad) -> tuple[float, float, float, float]:
+    """Axis-aligned bbox (x0, y0, x1, y1) of an 8-coord quad."""
+    q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+    return float(q[:, 0].min()), float(q[:, 1].min()), float(q[:, 0].max()), float(q[:, 1].max())
+
+
+def rect_to_quad(x0: float, y0: float, x1: float, y1: float) -> list[float]:
+    """Clockwise-from-top-left 8-coord quad of an axis-aligned rect."""
+    return [x0, y0, x1, y0, x1, y1, x0, y1]
+
+
+def sort_vertex8(quad) -> list[float]:
+    """Reorder a quad's 4 vertices clockwise starting from top-left.
+
+    Top-left = vertex minimizing (x + y), then clockwise by angle around the
+    centroid (reference semantics of ``box_utils.sort_vertex``).
+    """
+    pts = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+    center = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
+    order = np.argsort(ang, kind="stable")  # CCW from -pi; screen-coords => CW visual
+    pts = pts[order]
+    start = int(np.argmin(pts.sum(axis=1)))
+    pts = np.roll(pts, -start, axis=0)
+    return [float(v) for v in pts.reshape(-1)]
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Signed-area magnitude via the shoelace formula (Green's theorem,
+    cf. ``base_textdet_targets.py:54-70``)."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    x, y = p[:, 0], p[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of polygon ``subject`` by convex ``clip``."""
+    output = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        if not output:
+            break
+        input_pts, output = output, []
+        edge = (b[0] - a[0], b[1] - a[1])
+
+        def inside(p):
+            return edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0]) <= 0
+
+        def intersect(p, q):
+            dp = (q[0] - p[0], q[1] - p[1])
+            denom = edge[0] * dp[1] - edge[1] * dp[0]
+            if denom == 0:
+                return q
+            t = (edge[0] * (a[1] - p[1]) - edge[1] * (a[0] - p[0])) / -denom
+            return (p[0] + t * dp[0], p[1] + t * dp[1])
+
+        s = input_pts[-1]
+        for e in input_pts:
+            if inside(e):
+                if not inside(s):
+                    output.append(intersect(s, e))
+                output.append(tuple(e))
+            elif inside(s):
+                output.append(intersect(s, e))
+            s = e
+    return np.array(output, dtype=np.float64) if output else np.zeros((0, 2))
+
+
+def _ensure_cw(p: np.ndarray) -> np.ndarray:
+    x, y = p[:, 0], p[:, 1]
+    signed = (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+    return p if signed <= 0 else p[::-1]
+
+
+def poly_intersection_area(a, b) -> float:
+    """Intersection area of two convex polygons (flat coord lists or Nx2)."""
+    pa = _ensure_cw(np.asarray(a, dtype=np.float64).reshape(-1, 2))
+    pb = _ensure_cw(np.asarray(b, dtype=np.float64).reshape(-1, 2))
+    inter = _clip_polygon(pa, pb)
+    if len(inter) < 3:
+        return 0.0
+    return polygon_area(inter)
+
+
+def poly_iou(a, b) -> float:
+    """IoU of two convex polygons (``utils.poly_iou`` semantics)."""
+    ia = poly_intersection_area(a, b)
+    ua = polygon_area(a) + polygon_area(b) - ia
+    if ua <= 0:
+        return 0.0
+    return ia / ua
+
+
+def poly_nms(boundaries: list[list[float]], iou_thr: float = 0.1) -> list[list[float]]:
+    """Greedy NMS over boundaries ``[x1,y1,...,xk,yk,score]``.
+
+    Reference ``wrapper.py:477-498``: sort ascending by score, repeatedly keep
+    the max-score boundary and suppress overlaps with IoU > thr.  Ties broken
+    by original index (stable sort) for bit-stability.
+    """
+    idx = sorted(range(len(boundaries)), key=lambda i: (boundaries[i][-1], i))
+    keep: list[list[float]] = []
+    while idx:
+        i = idx.pop()  # max score
+        b = boundaries[i]
+        keep.append(b)
+        idx = [j for j in idx if poly_iou(b[:-1], boundaries[j][:-1]) <= iou_thr]
+    return keep
+
+
+def y_overlap_ratio(box_a, box_b) -> float:
+    """Vertical overlap / min height of two quads (``box_util.is_on_same_line``)."""
+    _, ay0, _, ay1 = quad_to_rect(box_a)
+    _, by0, _, by1 = quad_to_rect(box_b)
+    inter = min(ay1, by1) - max(ay0, by0)
+    minh = min(ay1 - ay0, by1 - by0)
+    if minh <= 0:
+        return 0.0
+    return max(0.0, inter) / minh
+
+
+def is_on_same_line(box_a, box_b, min_y_overlap_ratio: float = 0.8) -> bool:
+    return y_overlap_ratio(box_a, box_b) >= min_y_overlap_ratio
+
+
+def stitch_boxes_into_lines(
+    boxes: list[dict], max_x_dist: float = 10.0, min_y_overlap_ratio: float = 0.8
+) -> list[dict]:
+    """Merge word boxes ``{'box': [8 floats], 'text': str}`` into lines.
+
+    Reference ``mmocr/utils/box_util.py:42-117``: sort by x_min; greedily grow
+    a line with boxes that y-overlap the seed and start within ``max_x_dist``
+    of the current line's right edge; concatenate texts with spaces in x order;
+    merged box is the envelope.  Output lines are sorted top-to-bottom then
+    left-to-right (stable) so downstream ordering is deterministic.
+    """
+    if not boxes:
+        return []
+    order = sorted(
+        range(len(boxes)), key=lambda i: (quad_to_rect(boxes[i]["box"])[0], i)
+    )
+    used = [False] * len(boxes)
+    lines: list[dict] = []
+    for oi in order:
+        if used[oi]:
+            continue
+        used[oi] = True
+        members = [oi]
+        right = quad_to_rect(boxes[oi]["box"])[2]
+        for oj in order:
+            if used[oj]:
+                continue
+            bx0 = quad_to_rect(boxes[oj]["box"])[0]
+            if (
+                is_on_same_line(boxes[oi]["box"], boxes[oj]["box"], min_y_overlap_ratio)
+                and bx0 - right <= max_x_dist
+            ):
+                used[oj] = True
+                members.append(oj)
+                right = max(right, quad_to_rect(boxes[oj]["box"])[2])
+        members.sort(key=lambda i: (quad_to_rect(boxes[i]["box"])[0], i))
+        text = " ".join(boxes[i]["text"] for i in members)
+        rects = np.array([quad_to_rect(boxes[i]["box"]) for i in members])
+        x0, y0 = rects[:, 0].min(), rects[:, 1].min()
+        x1, y1 = rects[:, 2].max(), rects[:, 3].max()
+        lines.append({"box": rect_to_quad(x0, y0, x1, y1), "text": text})
+    lines.sort(key=lambda d: (quad_to_rect(d["box"])[1], quad_to_rect(d["box"])[0]))
+    return lines
+
+
+def layout_reading_order(boxes: list) -> list[int]:
+    """Reading-order permutation of box indices: cluster into columns by
+    x-extent overlap, order columns left-to-right, rows top-to-bottom inside
+    a column (the PDF-layout analog; new design, no reference counterpart)."""
+    if not boxes:
+        return []
+    rects = [quad_to_rect(b) for b in boxes]
+    order = sorted(range(len(boxes)), key=lambda i: (rects[i][0], i))
+    columns: list[list[int]] = []
+    col_spans: list[tuple[float, float]] = []
+    for i in order:
+        x0, _, x1, _ = rects[i]
+        placed = False
+        for c, (cx0, cx1) in enumerate(col_spans):
+            inter = min(x1, cx1) - max(x0, cx0)
+            if inter > 0.5 * min(x1 - x0, cx1 - cx0):
+                columns[c].append(i)
+                col_spans[c] = (min(cx0, x0), max(cx1, x1))
+                placed = True
+                break
+        if not placed:
+            columns.append([i])
+            col_spans.append((x0, x1))
+    cols = sorted(zip(col_spans, columns), key=lambda t: t[0][0])
+    out: list[int] = []
+    for _, members in cols:
+        members.sort(key=lambda i: (rects[i][1], rects[i][0], i))
+        out.extend(members)
+    return out
+
+
+def crop_quad(
+    img: np.ndarray, quad, long_edge_pad_ratio: float = 0.4, short_edge_pad_ratio: float = 0.2
+) -> np.ndarray:
+    """Axis-aligned crop of a quad with font-size-proportional padding.
+
+    Reference ``crop.py:86-124``: pad = shorter-edge-length * ratio, applied to
+    the long (x) and short (y) directions, clamped to the image.
+    """
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = quad_to_rect(quad)
+    shorter = min(x1 - x0, y1 - y0)
+    dx = int(round(shorter * long_edge_pad_ratio))
+    dy = int(round(shorter * short_edge_pad_ratio))
+    cx0 = max(0, int(np.floor(x0)) - dx)
+    cy0 = max(0, int(np.floor(y0)) - dy)
+    cx1 = min(w, int(np.ceil(x1)) + dx)
+    cy1 = min(h, int(np.ceil(y1)) + dy)
+    return img[cy0:cy1, cx0:cx1]

@@ -1,0 +1,124 @@
+"""Evaluation metrics as partial (per-row) counts + driver-side finalization.
+
+Reimplements the reference's aggregation semantics:
+- recognition metrics ``eval_ocr_metric`` / ``count_matches``
+  (``mmocr/core/evaluation/ocr_metric.py:28-133``): word accuracy at three
+  normalization levels, char recall/precision via longest-common-subsequence
+  matching, and 1 - normalized edit distance;
+- detection metric ``eval_hmean_iou`` (``mmocr/core/evaluation/hmean_iou.py:
+  7-116``): per-image greedy 1:1 IoU>=0.5 matching, dataset-level
+  recall/precision/hmean from summed counts.
+
+Everything per-row is embarrassingly parallel (map_batches); only small count
+sums cross the wire (partial aggregation pattern).
+"""
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from .geometry import poly_iou
+
+_NORM_RE = re.compile(r"[^A-Za-z0-9一-鿿]")
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Matched-char count a la difflib SequenceMatcher (reference uses
+    ``SequenceMatcher`` matching blocks, ``ocr_metric.py:60-66``)."""
+    return sum(m.size for m in SequenceMatcher(None, a, b).get_matching_blocks())
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance, numpy DP (rapidfuzz stand-in)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        cur = np.empty(len(b) + 1, dtype=np.int64)
+        cur[0] = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return int(prev[-1])
+
+
+def ocr_row_counts(pred: str, gt: str) -> dict:
+    """Per-row partial counts for recognition metrics (``count_matches``).
+
+    Three normalization levels: exact; ignore-case; ignore-case-and-symbol
+    (strip non-alnum/CJK, ``ocr_metric.py:49-59``).
+    """
+    gt_lc, pred_lc = gt.lower(), pred.lower()
+    gt_ics = _NORM_RE.sub("", gt_lc)
+    pred_ics = _NORM_RE.sub("", pred_lc)
+    norm_ed = (
+        edit_distance(pred_ics, gt_ics) / max(len(gt_ics), len(pred_ics), 1)
+        if (gt_ics or pred_ics)
+        else 0.0
+    )
+    return {
+        "match": int(pred == gt),
+        "match_ignore_case": int(pred_lc == gt_lc),
+        "match_ignore_case_symbol": int(pred_ics == gt_ics),
+        "true_positive_char": _lcs_len(pred_ics, gt_ics),
+        "gt_char": len(gt_ics),
+        "pred_char": len(pred_ics),
+        "norm_ed": norm_ed,
+        "count": 1,
+    }
+
+
+def ocr_finalize(sums: dict) -> dict:
+    """Dataset-level recognition metrics from summed partial counts
+    (``ocr_metric.py:83-133``)."""
+    n = max(sums["count"], 1)
+    return {
+        "word_acc": round(sums["match"] / n, 4),
+        "word_acc_ignore_case": round(sums["match_ignore_case"] / n, 4),
+        "word_acc_ignore_case_symbol": round(sums["match_ignore_case_symbol"] / n, 4),
+        "char_recall": round(sums["true_positive_char"] / max(sums["gt_char"], 1), 4),
+        "char_precision": round(
+            sums["true_positive_char"] / max(sums["pred_char"], 1), 4
+        ),
+        "1-N.E.D": round(1.0 - sums["norm_ed"] / n, 4),
+    }
+
+
+def hmean_iou_row_counts(
+    pred_polys: list[list[float]], gt_polys: list[list[float]], iou_thr: float = 0.5
+) -> dict:
+    """Per-image greedy 1:1 matching counts (``hmean_iou.py:7-116``):
+    each gt matched to at most one pred with IoU >= thr, greedy in
+    (gt index, pred index) order."""
+    matched_pred: set[int] = set()
+    hits = 0
+    for g in gt_polys:
+        for pi, p in enumerate(pred_polys):
+            if pi in matched_pred:
+                continue
+            if poly_iou(g, p) >= iou_thr:
+                matched_pred.add(pi)
+                hits += 1
+                break
+    return {"match": hits, "gt": len(gt_polys), "pred": len(pred_polys)}
+
+
+def hmean_finalize(sums: dict) -> dict:
+    recall = sums["match"] / max(sums["gt"], 1)
+    precision = sums["match"] / max(sums["pred"], 1)
+    h = (
+        2 * recall * precision / (recall + precision)
+        if (recall + precision) > 0
+        else 0.0
+    )
+    return {
+        "recall": round(recall, 4),
+        "precision": round(precision, 4),
+        "hmean": round(h, 4),
+    }

@@ -1,0 +1,186 @@
+"""Detection + recognition kernels over deterministic bitmap-font images.
+
+These are the sandbox stand-ins for the reference's model forward passes,
+expressed as classical pixel ops (the reference's own *decode* side is also
+classical pixel ops: threshold -> connected components -> boxes,
+``mmocr/models/textdet/postprocess/wrapper.py:177-229``):
+
+- detection = binarize + projection-profile segmentation into word quads
+  (stand-in for DBNet/CTPN-style text-line detection);
+- recognition = glyph segmentation + template match emitting per-frame
+  logits, decoded by the real CTC greedy kernel
+  (``mmocr/models/textrecog/convertors/ctc.py:85-144`` semantics) — the CTC
+  path, pad-to-max batching and ``valid_ratio`` trimming are the real
+  reference semantics, only the backbone is swapped for template matching.
+
+The geometry thresholds are model hyperparameters fixed by the render scale
+(like input size for CRNN): intra-word glyph gaps are <= 3*scale blank
+columns, inter-word gaps >= 7*scale (see ``imaging.render_text_image``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ctc import ctc_greedy_decode, indices_to_text
+from .geometry import rect_to_quad
+from .imaging import DICT36, glyph_cropped
+
+INK_THRESHOLD = 128
+BLANK_IDX = len(DICT36)  # CTC blank appended after the charset
+FRAMES_PER_GLYPH = 2
+
+_TEMPLATES: list[tuple[str, np.ndarray]] = [
+    (ch, glyph_cropped(ch)) for ch in DICT36
+]
+
+
+def binarize(img: np.ndarray) -> np.ndarray:
+    """uint8 grayscale -> bool ink mask (dark-on-light polarity)."""
+    return img < INK_THRESHOLD
+
+
+def _runs(mask_1d: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous True runs as half-open (start, stop) index pairs."""
+    if mask_1d.size == 0:
+        return []
+    m = mask_1d.astype(np.int8)
+    diff = np.diff(m)
+    starts = list(np.flatnonzero(diff == 1) + 1)
+    stops = list(np.flatnonzero(diff == -1) + 1)
+    if m[0]:
+        starts.insert(0, 0)
+    if m[-1]:
+        stops.append(len(m))
+    return list(zip(starts, stops))
+
+
+def _merge_runs(runs: list[tuple[int, int]], max_gap: int) -> list[tuple[int, int]]:
+    if not runs:
+        return []
+    merged = [runs[0]]
+    for s, e in runs[1:]:
+        ps, pe = merged[-1]
+        if s - pe <= max_gap:
+            merged[-1] = (ps, max(pe, e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def detect_word_boxes(img: np.ndarray, scale: int = 2) -> list[list[float]]:
+    """Detect word-level quads. Returns ``[x1,y1,...,x4,y4,score]`` rows.
+
+    Projection-profile two-stage segmentation: ink rows -> text lines; within
+    a line, ink-column runs merged with gap <= 5*scale -> words.  Score is the
+    ink density inside the box (all-equal-density ties are resolved by stable
+    top-down left-right emission order).
+    """
+    ink = binarize(img)
+    word_gap = 5 * scale
+    out: list[list[float]] = []
+    for y0, y1 in _runs(ink.any(axis=1)):
+        band = ink[y0:y1]
+        col_runs = _merge_runs(_runs(band.any(axis=0)), word_gap)
+        for x0, x1 in col_runs:
+            box = band[:, x0:x1]
+            score = float(box.mean())
+            out.append(rect_to_quad(x0, y0, x1, y1) + [round(score, 6)])
+    return out
+
+
+def _match_glyph(bitmap: np.ndarray) -> tuple[int, float]:
+    """Nearest template (by normalized Hamming distance on the ink-cropped
+    bitmap); returns (class index in DICT36, confidence)."""
+    best_idx, best_score = 0, -1.0
+    for i, (_, tpl) in enumerate(_TEMPLATES):
+        if tpl.shape != bitmap.shape:
+            continue
+        agree = float((tpl == bitmap).mean())
+        if agree > best_score:
+            best_idx, best_score = i, agree
+    if best_score < 0:  # no same-shape template: fall back to padded compare
+        for i, (_, tpl) in enumerate(_TEMPLATES):
+            h = max(tpl.shape[0], bitmap.shape[0])
+            w = max(tpl.shape[1], bitmap.shape[1])
+            a = np.zeros((h, w), dtype=bool)
+            b = np.zeros((h, w), dtype=bool)
+            a[: tpl.shape[0], : tpl.shape[1]] = tpl
+            b[: bitmap.shape[0], : bitmap.shape[1]] = bitmap
+            agree = float((a == b).mean())
+            if agree > best_score:
+                best_idx, best_score = i, agree
+    return best_idx, best_score
+
+
+def _downsample_block(bitmap: np.ndarray, scale: int) -> np.ndarray:
+    """Exact inverse of the kron upscale: block-mean > 0.5."""
+    h, w = bitmap.shape
+    h2, w2 = h // scale, w // scale
+    bitmap = bitmap[: h2 * scale, : w2 * scale]
+    blocks = bitmap.reshape(h2, scale, w2, scale).mean(axis=(1, 3))
+    return blocks > 0.5
+
+
+def word_frame_logits(word_ink: np.ndarray, scale: int = 2) -> np.ndarray:
+    """Emit a (T, C+1) frame-logit matrix for one word crop.
+
+    Per segmented glyph: FRAMES_PER_GLYPH frames peaked at the matched class,
+    one blank frame between glyphs — so the CTC collapse (drop repeats, drop
+    blanks) genuinely exercises double letters and blank handling.
+    """
+    n_classes = len(DICT36) + 1
+    rows = np.flatnonzero(word_ink.any(axis=1))
+    if rows.size == 0:
+        return np.zeros((1, n_classes), dtype=np.float32)
+    word_ink = word_ink[rows[0] : rows[-1] + 1]
+    # Glyph ink columns are contiguous (asserted in tests), and the minimum
+    # inter-glyph gap is one spacing column (= scale), so raw column runs ARE
+    # the glyph segments — no merge.
+    glyph_runs = _runs(word_ink.any(axis=0))
+    frames: list[np.ndarray] = []
+    base = 0.05 / n_classes
+    for gi, (x0, x1) in enumerate(glyph_runs):
+        g = word_ink[:, x0:x1]
+        gr = np.flatnonzero(g.any(axis=1))
+        g = g[gr[0] : gr[-1] + 1]
+        small = _downsample_block(g, scale)
+        cls, conf = _match_glyph(small)
+        if gi > 0:
+            f = np.full(n_classes, base, dtype=np.float32)
+            f[BLANK_IDX] = 0.95
+            frames.append(f)
+        for _ in range(FRAMES_PER_GLYPH):
+            f = np.full(n_classes, base, dtype=np.float32)
+            f[cls] = 0.5 + 0.5 * conf
+            frames.append(f)
+    return np.stack(frames) if frames else np.zeros((1, n_classes), dtype=np.float32)
+
+
+def pad_frame_batch(
+    frame_list: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Right-pad variable-T frame matrices to the batch max T.
+
+    Mirrors ResizeOCR pad-to-max-width + ``valid_ratio`` emission
+    (``ocr_transforms.py:87-125``): returns (B, Tmax, C) batch and a (B,)
+    valid_ratio vector; pad frames are blank-peaked so decode within the
+    valid range is unaffected.
+    """
+    n_classes = len(DICT36) + 1
+    tmax = max((f.shape[0] for f in frame_list), default=1)
+    batch = np.zeros((len(frame_list), tmax, n_classes), dtype=np.float32)
+    batch[:, :, BLANK_IDX] = 1.0
+    ratios = np.ones(len(frame_list), dtype=np.float32)
+    for i, f in enumerate(frame_list):
+        batch[i, : f.shape[0]] = f
+        ratios[i] = f.shape[0] / tmax
+    return batch, ratios
+
+
+def recognize_word(word_img: np.ndarray, scale: int = 2) -> tuple[str, float]:
+    """Full single-word path: crop -> frames -> CTC greedy -> text, score."""
+    frames = word_frame_logits(binarize(word_img), scale)
+    idxs, scores = ctc_greedy_decode(frames, blank=BLANK_IDX, valid_ratio=1.0)
+    text = indices_to_text(idxs, DICT36)
+    score = float(np.mean(scores)) if scores else 0.0
+    return text, round(score, 6)

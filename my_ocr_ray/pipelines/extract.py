@@ -1,0 +1,90 @@
+"""The flagship extraction pipeline: interleaved docs -> extracted docs.
+
+Ray-Data shape (SURVEY.md §3.1 "RD shape"):
+
+    read -> map_batches(explode_spans)            # 1:N fan-out, zero-copy Arrow
+         -> map_batches(strip_boilerplate)        # vectorized text routing
+         -> map_batches(OCRStage, concurrency=N)  # stateful actor pool (media)
+         -> groupby(doc_id) / salted two-phase    # the reassembly shuffle
+         -> write_parquet / Dataset
+
+Media strategy:
+- ``media_lookup`` (broadcast): the media side table is ``ray.put`` once and
+  read inside each OCR actor's ``__init__`` — a map-side hash join against a
+  small build side. Right when the media table fits in the object store.
+- ``media_join``: hash-join span rows against the media Dataset on
+  ``media_ref`` (``Dataset.join``) — the scale path when media bytes are far
+  larger than memory. Both paths produce identical results (tested).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.ocrstage import OCRStage
+from ..stages.reassemble import reassemble, reassemble_two_phase
+from ..stages.route import explode_spans
+from ..stages.textstage import strip_boilerplate
+
+
+def load_media_lookup(media_path: str):
+    """Read the media table and ``ray.put`` a {media_ref: png_bytes} dict.
+
+    Returns an ObjectRef; every OCR actor resolves it once (zero per-batch
+    re-shipping). Only for media tables that fit comfortably in plasma.
+    """
+    import ray
+
+    tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
+    lookup = dict(
+        zip(tbl["media_ref"].to_pylist(), tbl["bytes"].to_pylist())
+    )
+    return ray.put(lookup)
+
+
+def extract(
+    docs_ds,
+    media_lookup_ref=None,
+    media_ds=None,
+    *,
+    scale: int = 2,
+    ocr_concurrency=4,
+    ocr_batch_size: int = 256,
+    two_phase_salt: Optional[int] = None,
+    join_num_partitions: int = 32,
+):
+    """Run the full extraction pipeline; returns a documents-schema Dataset."""
+    spans = docs_ds.map_batches(
+        explode_spans,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"with_sentinel": True},
+    ).map_batches(strip_boilerplate, batch_format="pyarrow", zero_copy_batch=True)
+
+    if media_ds is not None:
+        # scale path: shuffle join span rows <- media bytes on media_ref.
+        # Text spans carry media_ref="" and must not be dropped: left join.
+        spans = spans.join(
+            media_ds.select_columns(["media_ref", "bytes"]),
+            join_type="left_outer",
+            num_partitions=join_num_partitions,
+            on=("media_ref",),
+        )
+
+    ocr_kwargs = dict(
+        fn_constructor_kwargs={
+            "media_lookup_ref": media_lookup_ref,
+            "scale": scale,
+        },
+        batch_format="pyarrow",
+        batch_size=ocr_batch_size,
+    )
+    if ocr_concurrency is not None:
+        ocr_kwargs["concurrency"] = ocr_concurrency
+    processed = spans.map_batches(OCRStage, **ocr_kwargs)
+
+    if two_phase_salt:
+        return reassemble_two_phase(processed, n_salt=two_phase_salt)
+    return reassemble(processed)

@@ -1,0 +1,118 @@
+"""OCR actor-pool stage: decode -> detect -> crop -> recognize -> stitch.
+
+The Ray-Data-native form of the reference's two-stage flow
+(``mmocr/utils/ocr.py:146-201``): a callable CLASS for
+``map_batches(OCRStage, concurrency=N, batch_size=B)`` — model state (glyph
+templates, the broadcast media lookup) is built once per actor in
+``__init__``; ``__call__`` handles one Arrow batch of span rows.
+
+Recognition is genuinely batched: word-frame matrices from ALL images in the
+batch are padded to the batch-max T with per-row ``valid_ratio``
+(``ocr_transforms.py:87-125`` semantics) and CTC-decoded
+(``convertors/ctc.py:85-144`` semantics) in one pass.
+
+Media bytes come either from a ``bytes`` column (shuffle-join path, big media
+tables) or from a broadcast ``ray.put`` dict (map-side lookup, small media
+tables) — the two strategies of SURVEY.md §2.4.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.ctc import ctc_greedy_decode, indices_to_text
+from ..functions.geometry import quad_to_rect, stitch_boxes_into_lines
+from ..functions.imaging import DICT36, png_decode
+from ..functions.ocr import (
+    BLANK_IDX,
+    binarize,
+    detect_word_boxes,
+    pad_frame_batch,
+    word_frame_logits,
+)
+
+
+class OCRStage:
+    def __init__(
+        self,
+        media_lookup_ref=None,
+        scale: int = 2,
+        min_y_overlap_ratio: float = 0.5,
+    ):
+        self.media: dict[str, bytes] | None = None
+        if media_lookup_ref is not None:
+            import ray
+
+            # One ray.get per actor; the dict lives in the object store once
+            # per node (broadcast small side, never re-shipped per batch).
+            self.media = ray.get(media_lookup_ref)
+        self.scale = scale
+        self.max_x_dist = 10 * scale
+        self.min_y_overlap_ratio = min_y_overlap_ratio
+
+    def _image_bytes(self, batch: pa.Table, media_indices: np.ndarray) -> list[bytes]:
+        if "bytes" in batch.column_names:
+            col = batch["bytes"]
+            return [col[int(i)].as_py() for i in media_indices]
+        assert self.media is not None, "no bytes column and no media lookup"
+        refs = batch["media_ref"]
+        return [self.media[refs[int(i)].as_py()] for i in media_indices]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kind = batch["kind"]
+        media_mask = pc.equal(kind, "media").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        media_idx = np.flatnonzero(media_mask)
+        if media_idx.size == 0:
+            return _project_span_rows(batch)
+
+        images = self._image_bytes(batch, media_idx)
+
+        # detect + per-word frame extraction (per image), frames pooled
+        # across the whole batch for one padded recognition pass
+        all_frames: list[np.ndarray] = []
+        word_meta: list[tuple[int, list[float]]] = []  # (image slot, quad)
+        for slot, data in enumerate(images):
+            img = png_decode(data)
+            ink = binarize(img)
+            for b in detect_word_boxes(img, scale=self.scale):
+                x0, y0, x1, y1 = (int(v) for v in quad_to_rect(b[:8]))
+                all_frames.append(
+                    word_frame_logits(ink[y0:y1, x0:x1], scale=self.scale)
+                )
+                word_meta.append((slot, b[:8]))
+
+        texts_per_slot: list[list[dict]] = [[] for _ in images]
+        if all_frames:
+            frames, ratios = pad_frame_batch(all_frames)
+            for w, (slot, quad) in enumerate(word_meta):
+                idxs, _scores = ctc_greedy_decode(
+                    frames[w], blank=BLANK_IDX, valid_ratio=float(ratios[w])
+                )
+                texts_per_slot[slot].append(
+                    {"box": quad, "text": indices_to_text(idxs, DICT36)}
+                )
+
+        ocr_texts = []
+        for words in texts_per_slot:
+            lines = stitch_boxes_into_lines(
+                words,
+                max_x_dist=self.max_x_dist,
+                min_y_overlap_ratio=self.min_y_overlap_ratio,
+            )
+            ocr_texts.append("\n".join(ln["text"] for ln in lines))
+
+        # write recognized text back into the media rows (vectorized scatter)
+        text_np = batch["text"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        text_np[media_idx] = ocr_texts
+        out = batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(text_np, pa.string())
+        )
+        return _project_span_rows(out)
+
+
+def _project_span_rows(batch: pa.Table) -> pa.Table:
+    keep = ["doc_id", "offset", "kind", "text", "media_ref"]
+    return batch.select(keep)

@@ -1,0 +1,110 @@
+"""Reassembly shuffle: span rows -> per-document ordered span sequences.
+
+The engine's one required all-to-all exchange (SURVEY.md §4): group processed
+span rows by ``doc_id`` and rebuild the ``spans`` list sorted by ``offset``.
+The reference never shuffles (one image per process, list order implicit,
+``ocr.py:193-199``); here order is restored explicitly from the carried
+``offset`` column so it survives any partitioning.
+
+Two strategies:
+- ``reassemble``            — single ``groupby(doc_id).map_groups``; fine when
+  per-doc span counts are bounded.
+- ``reassemble_two_phase``  — salted two-phase merge for skewed documents:
+  partial per-(doc_id, salt) sorted sublists, then a final merge of the (at
+  most ``n_salt``) sublists per doc. Bounds the largest group block at
+  ``max_spans/n_salt`` rows and pre-shrinks the final shuffle to
+  ``n_salt`` rows per doc.
+
+Exact dedup on ``(doc_id, offset)`` (keep-first) happens inside the group
+build — the idempotence guard for resumed/retried partitions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
+
+
+def _spans_struct(tbl: pa.Table, order: np.ndarray) -> pa.StructArray:
+    return pa.StructArray.from_arrays(
+        [
+            tbl["kind"].combine_chunks().take(pa.array(order)),
+            tbl["text"].combine_chunks().take(pa.array(order)),
+            tbl["media_ref"].combine_chunks().take(pa.array(order)),
+            tbl["offset"].combine_chunks().take(pa.array(order)),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+
+
+def _build_doc_rows(group: pa.Table) -> pa.Table:
+    """Span rows of one or more complete docs -> one row per doc.
+
+    Vectorized over the whole group table: a single lexicographic argsort on
+    (doc_id, offset), duplicate (doc_id, offset) drop, then a ListArray built
+    from group boundaries. No per-row Python.
+    """
+    doc = group["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    off = group["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((off, doc))
+    doc_s, off_s = doc[order], off[order]
+    # keep-first dedup on (doc_id, offset)
+    keep = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        keep[1:] = (doc_s[1:] != doc_s[:-1]) | (off_s[1:] != off_s[:-1])
+    order = order[keep]
+    doc_s = doc_s[keep]
+    off_s = off_s[keep]
+    # doc boundaries over ALL rows (incl. sentinels: they hold the roster)
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], doc_s[1:] != doc_s[:-1]))
+    )
+    # sentinels (offset < 0) are roster-only; excluded from the span lists
+    real = off_s >= 0
+    counts = np.add.reduceat(real.astype(np.int64), boundaries) if len(order) else []
+    list_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    values = _spans_struct(group, order[real])
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), values)
+    doc_ids = pa.array(doc_s[boundaries], pa.string())
+    return pa.Table.from_arrays([doc_ids, spans], schema=DOCUMENTS_SCHEMA)
+
+
+def reassemble(span_rows):
+    """span-row Dataset -> documents Dataset via groupby(doc_id)."""
+    return span_rows.groupby("doc_id").map_groups(
+        _build_doc_rows, batch_format="pyarrow"
+    )
+
+
+def _partial_key(batch: pa.Table, n_salt: int) -> pa.Table:
+    off = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+    salt = (off.astype(np.int64) % n_salt).astype(np.int32)
+    return batch.append_column("salt", pa.array(salt))
+
+
+def _partial_build(group: pa.Table) -> pa.Table:
+    """(doc_id, salt) group -> one row with the sorted partial span list."""
+    tbl = _build_doc_rows(group.drop_columns(["salt"]))
+    return tbl
+
+
+def _merge_partials(group: pa.Table) -> pa.Table:
+    """Merge the <= n_salt sorted partial lists of one doc (re-sort; lists are
+    small: n_salt rows of metadata, spans merged by offset)."""
+    from .route import explode_spans
+
+    return _build_doc_rows(explode_spans(group, with_sentinel=True))
+
+
+def reassemble_two_phase(span_rows, n_salt: int = 8):
+    """Salted two-phase reassembly for skewed multi-span documents."""
+    salted = span_rows.map_batches(
+        _partial_key, batch_format="pyarrow", fn_kwargs={"n_salt": n_salt}
+    )
+    partial = salted.groupby(["doc_id", "salt"]).map_groups(
+        _partial_build, batch_format="pyarrow"
+    )
+    return partial.groupby("doc_id").map_groups(
+        _merge_partials, batch_format="pyarrow"
+    )
