@@ -72,7 +72,7 @@ def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
             denom = edge[0] * dp[1] - edge[1] * dp[0]
             if denom == 0:
                 return q
-            t = (edge[0] * (a[1] - p[1]) - edge[1] * (a[0] - p[0])) / -denom
+            t = (edge[0] * (a[1] - p[1]) - edge[1] * (a[0] - p[0])) / denom
             return (p[0] + t * dp[0], p[1] + t * dp[1])
 
         s = input_pts[-1]

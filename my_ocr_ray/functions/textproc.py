@@ -148,7 +148,7 @@ def simhash64(text: str) -> int:
     votes = np.zeros(64, dtype=np.int64)
     for tok in tokenize(text):
         h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
-        bits = (h >> np.arange(64)) & 1
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits == 1, 1, -1)
     bits = (votes > 0).astype(np.uint64)
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
