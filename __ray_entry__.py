@@ -1,44 +1,230 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes one
+named pipeline per implemented operator family (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, same rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+from my_ocr_ray.pipelines import queries as Q
+
+_EN_SW = "'the','and','of','to','in','is','that','for','with','on'"
+_DE_SW = "'der','die','das','und','ist','von','mit','den','auf','ein'"
+_FR_SW = "'le','la','les','et','de','est','pour','dans','que','une'"
+_ES_SW = "'el','la','los','las','de','que','es','en','por','con'"
+
+# shared SQL fragments -------------------------------------------------------
+
+_SPANS_CTE = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS "offset",
+         array_to_string(t[(i-1)*8+1 : i*8], ' ') AS span_text
+  FROM toks, unnest(generate_series(1, CAST(ceil(len(t)/8.0) AS INT))) AS u(i)
+)
+"""
+
+_FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+_SIGS_CTE = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks)-2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [''] END AS shingles
+  FROM t),
+sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(shingles, x -> md5('0:' || x))) AS sig0,
+         list_min(list_transform(shingles, x -> md5('1:' || x))) AS sig1,
+         list_min(list_transform(shingles, x -> md5('2:' || x))) AS sig2,
+         list_min(list_transform(shingles, x -> md5('3:' || x))) AS sig3
+  FROM sh)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full extraction over the
+    deterministic synthetic interleaved corpus (docs + rendered media),
+    returning the flattened extracted span rows."""
+    return Q.q_flagship_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # interleaved-span family
+        "span_explode": Q.q_span_explode,
+        "extract_reassemble": Q.q_extract_reassemble,
+        "extract_strip": Q.q_extract_strip,
+        "flagship_extract": Q.q_flagship_extract,
+        # text analysis
+        "token_count": Q.q_token_count,
+        "quality": Q.q_quality,
+        "lang_id": Q.q_lang_id,
+        "fingerprint": Q.q_fingerprint,
+        "events_parse": Q.q_events_parse,
+        "top_docs": Q.q_top_docs,
+        "lineitem_agg": Q.q_lineitem_agg,
+        # dedup
+        "exact_dedup": Q.q_exact_dedup,
+        "minhash_sig": Q.q_minhash_sig,
+        "lsh_pairs": Q.q_lsh_pairs,
+        "simhash": Q.q_simhash,
+        "jaccard_adjacent": Q.q_jaccard_adjacent,
+        "embedding_dups": Q.q_embedding_dups,
+        # embeddings / ANN
+        "embedding_centroids": Q.q_embedding_centroids,
+        "ann_topk": Q.q_ann_topk,
+        "ann_ivf": Q.q_ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "span_explode": _SPANS_CTE + 'SELECT doc_id, "offset", span_text FROM spans',
+        "extract_reassemble": _SPANS_CTE
+        + """
+        SELECT doc_id, count(*) AS n_spans,
+               string_agg(span_text, ' ' ORDER BY "offset") AS text
+        FROM spans GROUP BY doc_id
+        """,
+        "extract_strip": _SPANS_CTE
+        + r"""
+        SELECT doc_id, count(*) AS n_spans,
+               string_agg(span_text, ' ' ORDER BY "offset") AS text
+        FROM spans
+        WHERE len(regexp_extract_all(span_text, '\S+')) >= 3
+        GROUP BY doc_id
+        """,
+        "token_count": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        "quality": rf"""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+          round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS mean_token_len,
+          round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 6) AS alpha_ratio,
+          round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 6) AS digit_ratio,
+          round(CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                                     x -> lower(x) IN ({_EN_SW}))) AS DOUBLE)
+                / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stopword_ratio
+        FROM documents
+        """,
+        "lang_id": rf"""
+        WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, text,
+          len(list_filter(toks, x -> lower(x) IN ({_EN_SW}))) AS en,
+          len(list_filter(toks, x -> lower(x) IN ({_DE_SW}))) AS de,
+          len(list_filter(toks, x -> lower(x) IN ({_FR_SW}))) AS fr,
+          len(list_filter(toks, x -> lower(x) IN ({_ES_SW}))) AS es
+        FROM t)
+        SELECT doc_id, CASE
+          WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+               > 0.2 * greatest(length(text), 1) THEN 'zh'
+          WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          WHEN de >= fr AND de >= es THEN 'de'
+          WHEN fr >= es THEN 'fr'
+          ELSE 'es' END AS lang_pred
+        FROM s
+        """,
+        "fingerprint": f"SELECT doc_id, {_FP} AS fp FROM documents",
+        "events_parse": r"""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+        """,
+        "top_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "exact_dedup": f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY {_FP}
+        """,
+        "minhash_sig": _SIGS_CTE
+        + "SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs",
+        "lsh_pairs": _SIGS_CTE
+        + """,
+        bands AS (
+          SELECT doc_id, md5('0|' || sig0 || '|' || sig1) AS band FROM sigs
+          UNION ALL
+          SELECT doc_id, md5('1|' || sig2 || '|' || sig3) AS band FROM sigs)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "jaccard_adjacent": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CASE
+            WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+            WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+          END, 6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_dups": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN embedding[i] > 0
+                      THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "embedding_centroids": """
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT label, CAST(p AS BIGINT) AS pos, round(avg(v[p]), 4) AS val
+        FROM e, unnest(generate_series(1, len(v))) AS u(p)
+        GROUP BY label, p
+        """,
+        "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e),
+        r AS (SELECT qid, vec_id, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+               round(sim, 6) AS sim
+        FROM r WHERE rn <= 5
+        """,
+        # no oracle: flagship_extract (OCR semantics), simhash (bit ops),
+        # ann_ivf (approximate by construction) -> rows-only checks
+    }

@@ -1,0 +1,149 @@
+"""Text-analysis pipelines over the ``documents`` table (Ray-Data-native).
+
+Language-ID, quality scoring, token counting and fingerprinting as
+``map_batches`` stages, vectorized with pyarrow.compute + numpy (token lists
+via ``utf8_split_whitespace``; per-row sums via ``np.add.reduceat`` over list
+offsets — no per-row Python in the hot paths except md5, which is per-row by
+nature).
+
+Every function here has an exactly-matching DuckDB SQL oracle in
+``__ray_entry__.oracle_sql`` (hence explicit rounding and ``\\S+`` token
+semantics).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.num import round_away
+from .functions.textproc import LANG_ORDER, STOPWORDS
+
+
+def _token_lists(text: pa.ChunkedArray):
+    """-> (flat non-empty-token mask applied values, reduceat offsets).
+
+    Splitting on whitespace can yield empty strings at the edges; they are
+    masked out so counts match the ``\\S+`` definition.
+    """
+    toks = pc.utf8_split_whitespace(text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    values = toks.values
+    nonempty = pc.not_equal(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+    return values, offsets, nonempty
+
+
+def _per_row_sum(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    n = len(offsets) - 1
+    if len(flags) == 0:
+        return np.zeros(n, dtype=np.int64)
+    out = np.add.reduceat(
+        flags.astype(np.int64), np.minimum(offsets[:-1], len(flags) - 1)
+    )
+    # reduceat quirk: rows with empty ranges copy the next element; zero them
+    empty = offsets[:-1] == offsets[1:]
+    out[empty] = 0
+    return out
+
+
+def _removed_len(text, pattern: str) -> pa.Array:
+    """Number of chars matching ``pattern`` = len(text) - len(text \\ pattern)."""
+    return pc.subtract(
+        pc.utf8_length(text),
+        pc.utf8_length(pc.replace_substring_regex(text, pattern, "")),
+    )
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    n = pc.count_substring_regex(batch["text"], r"\S+")
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pc.cast(n, pa.int64())], names=["doc_id", "n_tokens"]
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"].combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tokens = (
+        pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    alpha = _removed_len(text, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    digit = _removed_len(text, "[0-9]").to_numpy(zero_copy_only=False)
+    # non-whitespace chars = total - whitespace (matched-char count)
+    nonws = n_chars - _removed_len(text, r"\s").to_numpy(zero_copy_only=False)
+    values, offsets, nonempty = _token_lists(text)
+    low = pc.utf8_lower(values)
+    sw = pc.is_in(low, value_set=pa.array(STOPWORDS["en"])).to_numpy(
+        zero_copy_only=False
+    )
+    sw_counts = _per_row_sum(sw & nonempty, offsets)
+    safe_nt = np.maximum(n_tokens, 1)
+    safe_nc = np.maximum(n_chars, 1)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars.astype(np.int64),
+            "n_tokens": n_tokens,
+            "mean_token_len": round_away(nonws / safe_nt, 6),
+            "alpha_ratio": round_away(alpha / safe_nc, 6),
+            "digit_ratio": round_away(digit / safe_nc, 6),
+            "stopword_ratio": round_away(sw_counts / safe_nt, 6),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"].combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    cjk = _removed_len(text, "[一-鿿]").to_numpy(zero_copy_only=False)
+    values, offsets, nonempty = _token_lists(text)
+    low = pc.utf8_lower(values)
+    counts = np.stack(
+        [
+            _per_row_sum(
+                pc.is_in(low, value_set=pa.array(STOPWORDS[lang])).to_numpy(
+                    zero_copy_only=False
+                )
+                & nonempty,
+                offsets,
+            )
+            for lang in LANG_ORDER
+        ]
+    )  # (L, N)
+    best = counts.max(axis=0)
+    # first language (LANG_ORDER) achieving the max — deterministic tie-break
+    pick = (counts == best[None, :]).argmax(axis=0)
+    langs = np.array(LANG_ORDER, dtype=object)[pick]
+    langs = np.where(best == 0, "und", langs)
+    langs = np.where(cjk > 0.2 * np.maximum(n_chars, 1), "zh", langs)
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "lang_pred": langs.astype(str)}
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 of lowercased whitespace-normalized text (per-row hashing)."""
+    norm = pc.utf8_lower(
+        pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(batch["text"], r"\s+", " ")
+        )
+    ).to_pylist()
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+    )
+
+
+def parse_events_props_batch(batch: pa.Table) -> pa.Table:
+    """LineJsonParser analog (``mmocr/datasets/utils/parser.py:98-121``):
+    project the ``k`` field out of the JSON ``props`` column, vectorized via
+    regex extraction (the props schema is fixed)."""
+    k = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+    kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+    return pa.Table.from_arrays(
+        [batch["event_id"], batch["event_type"], kv],
+        names=["event_id", "event_type", "k"],
+    )

@@ -1,0 +1,156 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, resolved per task), batch-local
+top-k partials, then a tiny ``groupby(query)`` final merge. Shuffle volume is
+O(num_queries * k * num_blocks), never the corpus.
+
+Scale path: IVF — a coarse quantizer (deterministic centroid sample) assigns
+each vector to a cell; queries probe the ``nprobe`` nearest cells only.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .functions.num import round_away_scalar
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _batch_vectors(batch: pa.Table) -> np.ndarray:
+    return np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+
+
+class _TopKPartial:
+    """map_batches task fn: batch-local top-k per query (queries broadcast)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = _unit(q["vectors"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(_batch_vectors(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ vecs.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        # deterministic candidate cut: sort by (-sim, vec_id)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            out_q.extend([self.qids[qi]] * len(order))
+            out_id.extend(ids[order])
+            out_sim.extend(sims[qi][order])
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def _final_topk_factory(k: int):
+    def final(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        qids = group["query_id"].to_numpy(zero_copy_only=False)
+        # group may hold several query groups
+        out = []
+        for q in np.unique(qids):
+            m = qids == q
+            order = np.lexsort((ids[m], -sims[m]))[:k]
+            sel_ids, sel_sims = ids[m][order], sims[m][order]
+            for rank, (i, s) in enumerate(zip(sel_ids, sel_sims), 1):
+                out.append((int(q), rank, int(i), round_away_scalar(float(s), 6)))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([r[0] for r in out], pa.int64()),
+                "rank": pa.array([r[1] for r in out], pa.int64()),
+                "vec_id": pa.array([r[2] for r in out], pa.int64()),
+                "sim": pa.array([r[3] for r in out], pa.float64()),
+            }
+        )
+
+    return final
+
+
+def brute_force_topk(emb_ds, queries_ref, k: int = 5):
+    """-> (query_id, rank, vec_id, sim): exact cosine top-k per query.
+
+    ``queries_ref`` is a ``ray.put`` of {"qids": int array, "vectors": (Q,D)}.
+    Ties broken by vec_id ascending for bit-stable ranks.
+    """
+    partial = emb_ds.map_batches(
+        _TopKPartial,
+        batch_format="pyarrow",
+        fn_constructor_args=(queries_ref, k),
+        concurrency=4,
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_factory(k), batch_format="pyarrow"
+    )
+
+
+def ivf_topk(emb_ds, queries_ref, centroids: np.ndarray, k: int = 5, nprobe: int = 4):
+    """IVF variant: probe only the ``nprobe`` cells nearest to each query.
+
+    ``centroids``: (C, D) coarse quantizer (e.g. a deterministic sample of the
+    corpus). Returns the same schema as :func:`brute_force_topk`; recall < 1
+    by construction (tested against the brute-force oracle).
+    """
+    cmat = _unit(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = _unit(_batch_vectors(batch))
+        cells = (vecs @ cmat.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells))
+
+    class _ProbedPartial(_TopKPartial):
+        def __init__(self, queries_ref, k, cmat, nprobe):
+            super().__init__(queries_ref, k)
+            qcells = self.qmat @ cmat.T  # (Q, C)
+            order = np.argsort(-qcells, axis=1)[:, :nprobe]
+            self.probed = [set(map(int, row)) for row in order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cells = batch["cell"].to_numpy(zero_copy_only=False)
+            vecs = _unit(_batch_vectors(batch))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(cells, list(self.probed[qi]))
+                if not mask.any():
+                    continue
+                sims = self.qmat[qi] @ vecs[mask].T
+                sub_ids = ids[mask]
+                order = np.lexsort((sub_ids, -sims))[: self.k]
+                out_q.extend([self.qids[qi]] * len(order))
+                out_id.extend(sub_ids[order])
+                out_sim.extend(sims[order])
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partial = emb_ds.map_batches(assign, batch_format="pyarrow").map_batches(
+        _ProbedPartial,
+        batch_format="pyarrow",
+        fn_constructor_args=(queries_ref, k, cmat, nprobe),
+        concurrency=4,
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_factory(k), batch_format="pyarrow"
+    )

@@ -1,0 +1,216 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no record dedup (SURVEY.md §2.7); these are the
+training-data-pipeline operators the engine adds. All are expressed as
+Ray Data transforms with the canonical scale shapes:
+
+- exact:    hash -> groupby(hash) -> per-group min  (hash-partition + first)
+- MinHash:  shingle -> signature -> band keys -> groupby(band) -> in-bucket
+            pairs -> distinct   (the LSH shuffle groups only colliding docs)
+- SimHash:  64-bit fingerprint per doc (near-dup via Hamming distance)
+- Jaccard:  verification kernel over candidate pairs (never all-pairs)
+
+md5-based hashing keeps every step SQL-checkable against DuckDB (same hex
+digests, lexicographic minima) — a deliberate oracle-parity choice; a
+production deployment would swap in a vectorized 64-bit hash.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analysis import fingerprint_batch
+from .functions.num import round_away
+from .functions.textproc import lsh_band_keys, minhash_signature, simhash64
+
+
+def exact_dedup(docs_ds):
+    """-> (doc_id, n_copies): the surviving (min) doc_id per distinct
+    normalized-text fingerprint, with its duplicate count."""
+    from ray.data.aggregate import Count, Min
+
+    fps = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    agg = fps.groupby("fp").aggregate(Min("doc_id"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["min(doc_id)"], pc.cast(batch["count()"], pa.int64())],
+            names=["doc_id", "n_copies"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def minhash_signature_batch(
+    batch: pa.Table, num_hashes: int = 8, k: int = 3
+) -> pa.Table:
+    sigs = [
+        minhash_signature(t, num_hashes=num_hashes, k=k)
+        for t in batch["text"].to_pylist()
+    ]
+    cols = {"doc_id": batch["doc_id"]}
+    for s in range(num_hashes):
+        cols[f"sig{s}"] = pa.array([row[s] for row in sigs], pa.string())
+    return pa.Table.from_pydict(cols)
+
+
+def minhash_signatures(docs_ds, num_hashes: int = 8, k: int = 3):
+    return docs_ds.map_batches(
+        minhash_signature_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"num_hashes": num_hashes, "k": k},
+    )
+
+
+def _band_rows(batch: pa.Table, num_hashes: int, band_size: int, k: int) -> pa.Table:
+    doc_ids, bands = [], []
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    for d, t in zip(ids, texts):
+        sig = minhash_signature(t, num_hashes=num_hashes, k=k)
+        for key in lsh_band_keys(sig, band_size=band_size):
+            doc_ids.append(d)
+            bands.append(key)
+    return pa.Table.from_pydict(
+        {"band": pa.array(bands, pa.string()), "doc_id": doc_ids}
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """All (a < b) doc pairs inside one band bucket (buckets are small by
+    construction; a giant bucket means the band size needs raising)."""
+    a_out, b_out = [], []
+    # group may contain several band buckets — pair within each band only
+    band = np.asarray(group["band"].to_pylist())
+    ids = np.asarray(group["doc_id"].to_pylist())
+    order = np.lexsort((ids, band))
+    band, ids = band[order], ids[order]
+    start = 0
+    for i in range(1, len(band) + 1):
+        if i == len(band) or band[i] != band[start]:
+            members = ids[start:i]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+            start = i
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+        }
+    )
+
+
+def lsh_candidate_pairs(
+    docs_ds, num_hashes: int = 8, band_size: int = 2, k: int = 3
+):
+    """-> distinct (doc_a, doc_b) candidate near-duplicate pairs."""
+    bands = docs_ds.map_batches(
+        _band_rows,
+        batch_format="pyarrow",
+        fn_kwargs={"num_hashes": num_hashes, "band_size": band_size, "k": k},
+    )
+    pairs = bands.groupby("band").map_groups(_bucket_pairs, batch_format="pyarrow")
+    # distinct pairs (a pair can collide in several bands)
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hs = [f"{simhash64(t):016x}" for t in batch["text"].to_pylist()]
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.string())}
+    )
+
+
+def simhash_table(docs_ds):
+    return docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def jaccard_pairs(docs_ds, k: int = 3, num_partitions: int = 8):
+    """n-gram Jaccard similarity of each (doc_id, doc_id+1) pair — the
+    verification kernel, demonstrated over a linear candidate set (a real
+    run feeds LSH candidates instead of adjacent ids)."""
+    from .functions.textproc import jaccard_ngrams
+
+    def key_next(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.add(batch["doc_id"], 1), batch["doc_id"], batch["text"]],
+            names=["join_id", "doc_a", "text_a"],
+        )
+
+    def key_self(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["join_id", "text_b"]
+        )
+
+    left = docs_ds.map_batches(key_next, batch_format="pyarrow")
+    right = docs_ds.map_batches(key_self, batch_format="pyarrow")
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("join_id",)
+    )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        sims = [
+            jaccard_ngrams(a, b, k)
+            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["join_id"],
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(compute, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.9, num_partitions: int = 8):
+    """Embedding-cosine near-dup pairs above ``threshold``.
+
+    Scale shape: LSH-bucket by sign pattern of the first 8 dims (a random
+    hyperplane family), pair only within buckets — near-identical vectors
+    share the bucket with overwhelming probability.
+    """
+    def bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        signs = (vecs[:, :8] > 0).astype(np.uint8)
+        keys = (signs << np.arange(8, dtype=np.uint8)).sum(axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": keys,
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        vecs = np.stack(group["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pa.Table.from_pydict(
+            {
+                "vec_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                "vec_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                "cosine": round_away(sims[ia, ib][keep], 6),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

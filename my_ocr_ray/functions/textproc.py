@@ -16,6 +16,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+from .num import round_away_scalar
+
 import numpy as np
 
 TOKEN_RE = re.compile(r"\S+")
@@ -103,10 +105,10 @@ def quality_metrics(text: str) -> dict:
     return {
         "n_chars": n,
         "n_tokens": nt,
-        "mean_token_len": round(sum(len(t) for t in toks) / nt, 6) if nt else 0.0,
-        "alpha_ratio": round(alpha / n, 6) if n else 0.0,
-        "digit_ratio": round(digit / n, 6) if n else 0.0,
-        "stopword_ratio": round(sw / nt, 6) if nt else 0.0,
+        "mean_token_len": round_away_scalar(sum(len(t) for t in toks) / nt, 6) if nt else 0.0,
+        "alpha_ratio": round_away_scalar(alpha / n, 6) if n else 0.0,
+        "digit_ratio": round_away_scalar(digit / n, 6) if n else 0.0,
+        "stopword_ratio": round_away_scalar(sw / nt, 6) if nt else 0.0,
     }
 
 
@@ -164,4 +166,4 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     u = len(sa | sb)
-    return round(len(sa & sb) / u, 6) if u else 0.0
+    return round_away_scalar(len(sa & sb) / u, 6) if u else 0.0

@@ -1,0 +1,392 @@
+"""Named query pipelines over the driver's parquet tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset (or small table).
+These back ``__ray_entry__.queries()``; the matching ANSI-SQL oracles live in
+``__ray_entry__.oracle_sql``. Column names and rounding are part of the
+contract — they must match the SQL exactly.
+
+The interleaved-span queries derive a span table from ``documents.parquet``
+deterministically (chunks of ``SPAN_TOKENS`` tokens) — the same derivation is
+expressed in SQL, so explode/strip/reassemble get full value-level oracles
+even though the on-disk testdata is a flat text table.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.num import round_away_scalar
+
+SPAN_TOKENS = 8
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# interleaved-span family (explode / strip / reassemble with SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def derive_spans_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> (doc_id, offset, span_text): token chunks of 8."""
+    toks_list = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+    doc_ids = batch["doc_id"].to_pylist()
+    out_doc, out_off, out_span = [], [], []
+    for d, toks in zip(doc_ids, toks_list.to_pylist()):
+        toks = [t for t in toks if t]
+        for i in range(0, len(toks), SPAN_TOKENS):
+            out_doc.append(d)
+            out_off.append(i // SPAN_TOKENS)
+            out_span.append(" ".join(toks[i : i + SPAN_TOKENS]))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "offset": pa.array(out_off, pa.int32()),
+            "span_text": pa.array(out_span, pa.string()),
+        }
+    )
+
+
+def q_span_explode(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        derive_spans_batch, batch_format="pyarrow"
+    )
+
+
+def _reassemble_rows(group: pa.Table) -> pa.Table:
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    off = group["offset"].to_numpy(zero_copy_only=False)
+    txt = np.asarray(group["span_text"].to_pylist(), dtype=object)
+    order = np.lexsort((off, doc))
+    doc_s, txt_s = doc[order], txt[order]
+    bounds = np.flatnonzero(np.concatenate(([True], doc_s[1:] != doc_s[:-1])))
+    ends = np.concatenate((bounds[1:], [len(doc_s)]))
+    ids, ns, texts = [], [], []
+    for b, e in zip(bounds, ends):
+        ids.append(int(doc_s[b]))
+        ns.append(int(e - b))
+        texts.append(" ".join(txt_s[b:e]))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(ns, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def q_extract_reassemble(sf_dir: str):
+    """Explode -> shuffle groupby(doc_id) -> offset-ordered reassembly.
+
+    The round-trip property (rebuilt text == original) is the SQL oracle."""
+    spans = q_span_explode(sf_dir)
+    return spans.groupby("doc_id").map_groups(
+        _reassemble_rows, batch_format="pyarrow"
+    )
+
+
+def q_extract_strip(sf_dir: str):
+    """Same, but boilerplate-rule spans (token count < 3) dropped first."""
+    spans = q_span_explode(sf_dir)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["span_text"], r"\S+")
+        return batch.filter(pc.greater_equal(n, 3))
+
+    return (
+        spans.map_batches(strip, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(_reassemble_rows, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    from ..analysis import token_count_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    from ..analysis import quality_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from ..analysis import lang_id_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..analysis import fingerprint_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_events_parse(sf_dir: str):
+    """LineJsonParser analog + grouped aggregate over the parsed field."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..analysis import parse_events_props_batch
+
+    parsed = _read(sf_dir, "events", ["event_id", "event_type", "props"]).map_batches(
+        parse_events_props_batch, batch_format="pyarrow"
+    )
+    agg = parsed.groupby("event_type").aggregate(Count(), Sum("k"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["event_type"],
+                pc.cast(batch["count()"], pa.int64()),
+                pc.cast(batch["sum(k)"], pa.int64()),
+            ],
+            names=["event_type", "n_events", "sum_k"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_top_docs(sf_dir: str):
+    """Global sort + limit (the reference's ranklist shape, ``hmean.py:13-40``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-flavored grouped aggregate (partial-agg pattern: Ray's
+    hash-aggregate combines per-block before the shuffle)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity"), Sum("l_extendedprice"), Mean("l_discount"), Count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.round(batch["sum(l_quantity)"], ndigits=2, round_mode="half_towards_infinity"),
+                "sum_base_price": pc.round(batch["sum(l_extendedprice)"], ndigits=2, round_mode="half_towards_infinity"),
+                "avg_disc": pc.round(batch["mean(l_discount)"], ndigits=6, round_mode="half_towards_infinity"),
+                "count_order": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_sig(sf_dir: str):
+    from ..dedup import minhash_signatures
+
+    return minhash_signatures(
+        _read(sf_dir, "documents", ["doc_id", "text"]), num_hashes=4, k=3
+    )
+
+
+def q_lsh_pairs(sf_dir: str):
+    from ..dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_hashes=4,
+        band_size=2,
+        k=3,
+    )
+
+
+def q_simhash(sf_dir: str):
+    from ..dedup import simhash_table
+
+    return simhash_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_jaccard_adjacent(sf_dir: str):
+    from ..dedup import jaccard_pairs
+
+    return jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+def q_embedding_dups(sf_dir: str):
+    from ..dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings / ANN family
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding in long format (label, pos, val) — the
+    two-step partial-aggregation pattern (combine per block, then a tiny
+    groupby of one partial row per (block, label))."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        out_label, out_sum, out_n = [], [], []
+        for lb in np.unique(labels):
+            m = labels == lb
+            out_label.append(int(lb))
+            out_sum.append(vecs[m].sum(axis=0))
+            out_n.append(int(m.sum()))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(out_label, pa.int32()),
+                "vsum": pa.array([list(v) for v in out_sum], pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        labels = group["label"].to_numpy(zero_copy_only=False)
+        sums = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in group["vsum"].to_pylist()]
+        )
+        ns = group["n"].to_numpy(zero_copy_only=False)
+        out_label, out_pos, out_val = [], [], []
+        for lb in np.unique(labels):
+            m = labels == lb
+            mean = sums[m].sum(axis=0) / ns[m].sum()
+            for p, v in enumerate(mean, 1):
+                out_label.append(int(lb))
+                out_pos.append(p)
+                out_val.append(round_away_scalar(float(v), 4))
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(out_label, pa.int32()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "val": pa.array(out_val, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _query_vectors(sf_dir: str, n_queries: int = 4):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t["vec_id"], n_queries))
+    return {
+        "qids": np.asarray(t["vec_id"].to_pylist(), dtype=np.int64),
+        "vectors": np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]),
+    }
+
+
+def q_ann_topk(sf_dir: str):
+    import ray
+
+    from ..ann import brute_force_topk
+
+    qref = ray.put(_query_vectors(sf_dir))
+    return brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qref, k=5
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..ann import ivf_topk
+
+    qref = ray.put(_query_vectors(sf_dir))
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = np.stack(
+        [np.asarray(v) for v in emb["embedding"].to_pylist()[:16]]
+    )
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qref,
+        centroids=cents,
+        k=5,
+        nprobe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship (no SQL oracle: OCR semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_extract(sf_dir: str, n_docs: int | None = None):
+    """Full extraction pipeline over the deterministic synthetic interleaved
+    corpus (size tied to the sf documents table). Output flattened to scalar
+    columns for the driver's rows-only check."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    from ..synth import corpus_tables
+    from .extract import extract
+
+    if n_docs is None:
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs, media, _expected = corpus_tables(n_docs, seed=13)
+    lookup = ray.put(
+        dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
+    )
+    out = extract(
+        ray.data.from_arrow(docs).repartition(8),
+        media_lookup_ref=lookup,
+        ocr_concurrency=2,
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        from ..stages.route import explode_spans
+
+        return explode_spans(batch)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
