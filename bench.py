@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship extraction throughput + query battery timings.
+
+Prints ONE JSON line:
+  {"metric": "extract_total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "n_docs": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the flagship job in two fresh processes (num_cpus=8 and 32)
+on the same pre-generated corpus and reports both throughputs plus scaling
+efficiency (sandbox stand-in for N vs 4N nodes); result is appended to
+BASELINE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SEED = 13
+BENCH_TMP = "/tmp/myocr_bench"
+
+
+def _ray_init(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    return ray
+
+
+def corpus_dir(n_docs: int) -> str:
+    return os.path.join(BENCH_TMP, f"corpus_{n_docs}_{SEED}")
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Generate the synthetic interleaved corpus once (not timed)."""
+    out = corpus_dir(n_docs)
+    marker = os.path.join(out, "DONE")
+    if os.path.exists(marker):
+        return out
+    from my_ocr_ray.synth import write_corpus
+
+    write_corpus(out, n_docs, seed=SEED)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:
+    """Timed: read parquet -> extract -> write parquet (fully streaming)."""
+    import glob
+    import shutil
+
+    import ray.data
+
+    from my_ocr_ray.pipelines.extract import extract, load_media_lookup
+
+    corpus = ensure_corpus(n_docs)
+    media_files = sorted(glob.glob(f"{corpus}/media/*.parquet"))
+    docs_files = sorted(glob.glob(f"{corpus}/documents/*.parquet"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    lookup = load_media_lookup(media_files)
+    ds = ray.data.read_parquet(docs_files)
+    result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=256)
+    result.write_parquet(out_dir)
+    wall = time.time() - t0
+    return {"wall_sec": wall, "docs_per_sec": n_docs / wall, "n_docs": n_docs}
+
+
+def run_queries(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    import ray.data
+
+    out = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.to_pandas()  # consume fully
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-docs", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    if args.n_docs:
+        n_docs = args.n_docs
+    else:
+        import pyarrow.parquet as pq
+
+        # big enough that fixed costs (actor startup, shuffle setup) amortize:
+        # 20x the sf documents table (sf0.1 -> 100k interleaved docs)
+        n_docs = 20 * pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            best = None
+            for _attempt in range(2):  # best-of-2: first run warms page cache
+                cmd = [sys.executable, __file__, "--flagship-only",
+                       "--cpus", str(cpus), "--n-docs", str(n_docs)]
+                env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+                out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                    best = r
+            results[cpus] = best
+        t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        eff = (t32 / t8) / 4.0
+        payload = {
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "docs_per_sec_8": round(t8, 2),
+            "docs_per_sec_32": round(t32, 2),
+            "speedup": round(t32 / t8, 3),
+            "n_docs": n_docs,
+            "sf": sf,
+        }
+        print(json.dumps(payload))
+        _record_baseline(payload)
+        return
+
+    _ray_init(num_cpus)
+    flag = run_flagship(n_docs, num_cpus, os.path.join(BENCH_TMP, f"out_{num_cpus}"))
+    queries = {} if args.flagship_only else run_queries(sf_dir)
+    payload = {
+        "metric": "extract_total_sec",
+        "value": round(flag["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(flag["docs_per_sec"], 2),
+        "n_docs": flag["n_docs"],
+    }
+    print(json.dumps(payload))
+    import ray
+
+    ray.shutdown()
+
+
+def _record_baseline(payload: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        "",
+        f"## Measured scaling ({stamp})",
+        "",
+        f"- docs/sec @ num_cpus=8:  {payload['docs_per_sec_8']}",
+        f"- docs/sec @ num_cpus=32: {payload['docs_per_sec_32']}",
+        f"- speedup 8→32: {payload['speedup']}  (ideal 4.0)",
+        f"- scaling efficiency: {payload['value']}  (target ≥ 0.8)",
+        f"- corpus: {payload['n_docs']} synthetic interleaved docs (sf {payload['sf']})",
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

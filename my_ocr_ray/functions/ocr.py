@@ -32,6 +32,11 @@ FRAMES_PER_GLYPH = 2
 _TEMPLATES: list[tuple[str, np.ndarray]] = [
     (ch, glyph_cropped(ch)) for ch in DICT36
 ]
+# exact-match fast path: cropped-bitmap bytes -> class index (hit rate ~100%
+# on clean renders; noisy inputs fall back to the Hamming search)
+_EXACT: dict[tuple[tuple[int, int], bytes], int] = {
+    (tpl.shape, tpl.tobytes()): i for i, (_, tpl) in enumerate(_TEMPLATES)
+}
 
 
 def binarize(img: np.ndarray) -> np.ndarray:
@@ -91,6 +96,9 @@ def detect_word_boxes(img: np.ndarray, scale: int = 2) -> list[list[float]]:
 def _match_glyph(bitmap: np.ndarray) -> tuple[int, float]:
     """Nearest template (by normalized Hamming distance on the ink-cropped
     bitmap); returns (class index in DICT36, confidence)."""
+    hit = _EXACT.get((bitmap.shape, bitmap.tobytes()))
+    if hit is not None:
+        return hit, 1.0
     best_idx, best_score = 0, -1.0
     for i, (_, tpl) in enumerate(_TEMPLATES):
         if tpl.shape != bitmap.shape:

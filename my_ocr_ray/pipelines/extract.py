@@ -18,13 +18,18 @@ Media strategy:
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..stages.ocrstage import OCRStage
-from ..stages.reassemble import reassemble, reassemble_two_phase
+from ..stages.reassemble import (
+    reassemble,
+    reassemble_hash,
+    reassemble_two_phase,
+)
 from ..stages.route import explode_spans
 from ..stages.textstage import strip_boilerplate
 
@@ -37,7 +42,14 @@ def load_media_lookup(media_path: str):
     """
     import ray
 
-    tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
+    if isinstance(media_path, (list, tuple)) or os.path.isdir(str(media_path)):
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(media_path, format="parquet").to_table(
+            columns=["media_ref", "bytes"]
+        )
+    else:
+        tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
     lookup = dict(
         zip(tbl["media_ref"].to_pylist(), tbl["bytes"].to_pylist())
     )
@@ -50,12 +62,33 @@ def extract(
     media_ds=None,
     *,
     scale: int = 2,
-    ocr_concurrency=4,
+    ocr_concurrency: Optional[int] = None,
     ocr_batch_size: int = 256,
     two_phase_salt: Optional[int] = None,
-    join_num_partitions: int = 32,
+    join_num_partitions: Optional[int] = None,
+    shuffle: str = "hash",
+    shuffle_partitions: Optional[int] = None,
 ):
-    """Run the full extraction pipeline; returns a documents-schema Dataset."""
+    """Run the full extraction pipeline; returns a documents-schema Dataset.
+
+    Resource auto-sizing: the OCR actor pool, the hash-shuffle aggregators
+    (0.25 CPU per partition) and the join aggregators must all fit on the
+    cluster simultaneously or the streaming executor stalls — when
+    ``ocr_concurrency`` is None it is sized to what's left after reserving
+    for shuffles and IO tasks.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2, min(64, cpus))
+    if join_num_partitions is None:
+        join_num_partitions = shuffle_partitions
+    if ocr_concurrency is None:
+        reserve = 2 + 0.25 * shuffle_partitions
+        if media_ds is not None:
+            reserve += 0.25 * join_num_partitions
+        ocr_concurrency = max(1, int(cpus - reserve))
     spans = docs_ds.map_batches(
         explode_spans,
         batch_format="pyarrow",
@@ -87,4 +120,6 @@ def extract(
 
     if two_phase_salt:
         return reassemble_two_phase(processed, n_salt=two_phase_salt)
+    if shuffle == "hash":
+        return reassemble_hash(processed, num_partitions=shuffle_partitions)
     return reassemble(processed)

@@ -71,9 +71,41 @@ def _build_doc_rows(group: pa.Table) -> pa.Table:
 
 
 def reassemble(span_rows):
-    """span-row Dataset -> documents Dataset via groupby(doc_id)."""
+    """span-row Dataset -> documents Dataset via groupby(doc_id) (sort-based
+    shuffle; see :func:`reassemble_hash` for the default hash exchange)."""
     return span_rows.groupby("doc_id").map_groups(
         _build_doc_rows, batch_format="pyarrow"
+    )
+
+
+def reassemble_hash(span_rows, num_partitions: int | None = None):
+    """Explicit doc_id-hash repartition -> per-block vectorized rebuild.
+
+    ``repartition(keys=['doc_id'])`` is a hash exchange that co-locates every
+    span row of a document in one output block; ``_build_doc_rows`` then
+    rebuilds all documents of a block in one vectorized call
+    (``batch_size=None`` = whole block). This replaces the serial range-sort
+    the sort-based ``groupby`` plans on small clusters and is the
+    north-star shape: "explicitly repartitions by doc_id hash".
+    """
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        # one partition per CPU, capped — aggregator actors must fit next to
+        # the OCR actor pool (they claim 0.25 CPU per partition, below)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(64, cpus))
+    # key-based repartition requires the hash-shuffle backend
+    span_rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # shrink the per-partition CPU claim of shuffle-aggregator actors so they
+    # coexist with the OCR actor pool on small nodes (avoids scheduling
+    # deadlock: pool holds most CPUs, aggregators can never start)
+    span_rows.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    parts = span_rows.repartition(num_blocks=num_partitions, keys=["doc_id"])
+    return parts.map_batches(
+        _build_doc_rows, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
 

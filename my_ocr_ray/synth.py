@@ -195,16 +195,16 @@ def write_corpus(
     import ray.data
 
     def gen_docs(batch: pa.Table) -> pa.Table:
-        rows = [make_doc(seed, int(i), max_spans, media_prob) for i in batch["id"]]
+        rows = [make_doc(seed, int(i), max_spans, media_prob) for i in batch["id"].to_pylist()]
         return _rows_to_table(rows, DOCUMENTS_SCHEMA)
 
     def gen_expected(batch: pa.Table) -> pa.Table:
-        rows = [expected_doc(seed, int(i), max_spans, media_prob) for i in batch["id"]]
+        rows = [expected_doc(seed, int(i), max_spans, media_prob) for i in batch["id"].to_pylist()]
         return _rows_to_table(rows, DOCUMENTS_SCHEMA)
 
     def gen_media(batch: pa.Table) -> pa.Table:
         rows = []
-        for i in batch["id"]:
+        for i in batch["id"].to_pylist():
             doc = make_doc(seed, int(i), max_spans, media_prob)
             for s in doc["spans"]:
                 if s["kind"] == "media":

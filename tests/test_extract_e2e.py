@@ -31,7 +31,7 @@ def _run(ray_session, corpus, **kwargs):
         kwargs["media_lookup_ref"] = ray_session.put(
             dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
         )
-    out = extract(docs_ds, ocr_concurrency=2, **kwargs).take_all()
+    out = extract(docs_ds, **kwargs).take_all()  # auto-sized concurrency
     assert _got_map(out) == _expected_map(expected)
 
 

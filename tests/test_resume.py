@@ -1,0 +1,74 @@
+"""Resumability: a killed run (simulated by max_partitions) resumes by
+skipping completed partitions and produces exactly the full golden output."""
+import os
+
+import pytest
+
+from my_ocr_ray.pipelines.runner import (
+    read_output,
+    run_extract_partitioned,
+)
+from my_ocr_ray.state.manifest import completed_partitions, read_manifest
+from my_ocr_ray.synth import corpus_tables
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("resume_corpus")
+    docs, media, expected = corpus_tables(30, seed=21)
+    docs_dir = base / "documents"
+    docs_dir.mkdir()
+    # several input files so partitioning has something to split
+    rows_per_file = 5
+    for i in range(0, docs.num_rows, rows_per_file):
+        pq.write_table(
+            docs.slice(i, rows_per_file), docs_dir / f"docs-{i:04d}.parquet"
+        )
+    media_path = base / "media.parquet"
+    pq.write_table(media, media_path)
+    return str(docs_dir), str(media_path), expected
+
+
+def test_partial_run_then_resume(corpus_dirs, ray_session, tmp_path):
+    docs_dir, media_path, expected = corpus_dirs
+    out_dir = str(tmp_path / "out")
+
+    kw = dict(num_partitions=4, ocr_concurrency=2)
+    # simulate a kill after 2 partitions
+    s1 = run_extract_partitioned(
+        docs_dir, media_path, out_dir, max_partitions=2, **kw
+    )
+    assert s1["processed_now"] == 2
+    assert len(completed_partitions(out_dir)) == 2
+
+    # resume: finishes the remaining partitions, does not redo done ones
+    s2 = run_extract_partitioned(docs_dir, media_path, out_dir, **kw)
+    assert s2["processed_now"] == 2
+    assert s2["completed"] == 4
+
+    # idempotent third run
+    s3 = run_extract_partitioned(docs_dir, media_path, out_dir, **kw)
+    assert s3["processed_now"] == 0
+
+    got = {
+        r["doc_id"]: [dict(s) for s in r["spans"]]
+        for r in read_output(out_dir).take_all()
+    }
+    exp = {r["doc_id"]: r["spans"] for r in expected.to_pylist()}
+    assert got == exp
+
+
+def test_manifest_lineage_contents(corpus_dirs, ray_session, tmp_path):
+    docs_dir, media_path, _ = corpus_dirs
+    out_dir = str(tmp_path / "out2")
+    run_extract_partitioned(
+        docs_dir, media_path, out_dir, num_partitions=2, ocr_concurrency=2
+    )
+    m = read_manifest(out_dir, 0)
+    assert m["rows_in"] > 0 and m["rows_out"] == m["rows_in"]
+    assert m["metrics"]["docs"] == m["rows_out"]
+    assert m["metrics"]["spans"] >= m["metrics"]["media_spans"] >= 0
+    assert all(os.path.exists(f) for f in m["input_files"])
+    assert m["wall_sec"] > 0
