@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_reassemble": Q.q_extract_reassemble,
         "extract_strip": Q.q_extract_strip,
         "flagship_extract": Q.q_flagship_extract,
+        "ocr_eval": Q.q_ocr_eval,
         # text analysis
         "token_count": Q.q_token_count,
         "quality": Q.q_quality,

@@ -1,0 +1,119 @@
+"""Evaluation as Ray Data aggregations: per-row partial counts -> global sums.
+
+The reference evaluates on the driver over gathered result lists
+(``tools/test.py:203-236``); here metrics are dataset aggregations:
+``map_batches`` emits per-row partial counts (embarrassingly parallel — the
+matching inside hmean is per-image-local, ``hmean_iou.py:7-116``), a tiny
+``sum`` crosses the wire, ratios finalize on the driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.metrics import (
+    hmean_finalize,
+    hmean_iou_row_counts,
+    ocr_finalize,
+    ocr_row_counts,
+)
+
+_OCR_KEYS = (
+    "match", "match_ignore_case", "match_ignore_case_symbol",
+    "true_positive_char", "gt_char", "pred_char", "norm_ed", "count",
+)
+
+
+def _ocr_counts_batch(batch: pa.Table) -> pa.Table:
+    cols = {k: [] for k in _OCR_KEYS}
+    for pred, gt in zip(batch["pred"].to_pylist(), batch["gt"].to_pylist()):
+        c = ocr_row_counts(pred, gt)
+        for k in _OCR_KEYS:
+            cols[k].append(c[k])
+    return pa.Table.from_pydict(cols)
+
+
+def ocr_eval(ds) -> dict:
+    """Dataset with (pred, gt) string columns -> recognition metric dict
+    (word_acc x3, char recall/precision, 1-N.E.D)."""
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(_ocr_counts_batch, batch_format="pyarrow")
+    agg = counts.aggregate(*[Sum(k) for k in _OCR_KEYS])
+    sums = {k: agg[f"sum({k})"] or 0 for k in _OCR_KEYS}
+    return ocr_finalize(sums)
+
+
+def _hmean_counts_batch(batch: pa.Table, iou_thr: float) -> pa.Table:
+    cols = {"match": [], "gt": [], "pred": []}
+    for pred_polys, gt_polys in zip(
+        batch["pred_polys"].to_pylist(), batch["gt_polys"].to_pylist()
+    ):
+        c = hmean_iou_row_counts(pred_polys, gt_polys, iou_thr)
+        for k in cols:
+            cols[k].append(c[k])
+    return pa.Table.from_pydict(cols)
+
+
+def hmean_eval(ds, iou_thr: float = 0.5) -> dict:
+    """Dataset with per-image (pred_polys, gt_polys) list<list<float>> columns
+    -> detection recall/precision/hmean."""
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(
+        _hmean_counts_batch, batch_format="pyarrow", fn_kwargs={"iou_thr": iou_thr}
+    )
+    agg = counts.aggregate(Sum("match"), Sum("gt"), Sum("pred"))
+    return hmean_finalize(
+        {
+            "match": agg["sum(match)"] or 0,
+            "gt": agg["sum(gt)"] or 0,
+            "pred": agg["sum(pred)"] or 0,
+        }
+    )
+
+
+def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
+    """End-to-end accuracy of the extraction pipeline vs the golden corpus:
+    per-doc span-sequence equality rate + media-span OCR exact-match rate."""
+    exp = {
+        r["doc_id"]: r["spans"] for r in expected_tbl.to_pylist()
+    }
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = eq = media = media_ok = 0
+        for r in batch.to_pylist():
+            want = exp.get(r["doc_id"])
+            got = [dict(s) for s in r["spans"]]
+            n += 1
+            eq += int(got == want)
+            want_media = {
+                s["media_ref"]: s["text"] for s in (want or []) if s["kind"] == "media"
+            }
+            for s in got:
+                if s["kind"] == "media":
+                    media += 1
+                    media_ok += int(s["text"] == want_media.get(s["media_ref"]))
+        return pa.Table.from_pydict(
+            {
+                "docs": [n],
+                "docs_equal": [eq],
+                "media_spans": [media],
+                "media_correct": [media_ok],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = extracted_ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("docs"), Sum("docs_equal"), Sum("media_spans"), Sum("media_correct")
+    )
+    docs = agg["sum(docs)"] or 0
+    return {
+        "docs": docs,
+        "span_equality_rate": round((agg["sum(docs_equal)"] or 0) / max(docs, 1), 6),
+        "media_spans": agg["sum(media_spans)"] or 0,
+        "media_text_acc": round(
+            (agg["sum(media_correct)"] or 0) / max(agg["sum(media_spans)"] or 0, 1), 6
+        ),
+    }

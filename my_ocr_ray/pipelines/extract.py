@@ -68,6 +68,7 @@ def extract(
     join_num_partitions: Optional[int] = None,
     shuffle: str = "hash",
     shuffle_partitions: Optional[int] = None,
+    on_error: str = "raise",
 ):
     """Run the full extraction pipeline; returns a documents-schema Dataset.
 
@@ -110,6 +111,7 @@ def extract(
         fn_constructor_kwargs={
             "media_lookup_ref": media_lookup_ref,
             "scale": scale,
+            "on_error": on_error,
         },
         batch_format="pyarrow",
         batch_size=ocr_batch_size,

@@ -390,3 +390,28 @@ def q_flagship_extract(sf_dir: str, n_docs: int | None = None):
         return explode_spans(batch)
 
     return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_ocr_eval(sf_dir: str):
+    """End-to-end extraction accuracy vs the golden corpus as a 1-row table
+    (rows-only check: OCR semantics have no SQL expression). The expected
+    values are exactly 1.0 — the engine's reference-parity proof."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    from ..synth import corpus_tables
+    from .evaluate import extraction_accuracy
+    from .extract import extract
+
+    n_docs = min(
+        500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    )
+    docs, media, expected = corpus_tables(n_docs, seed=17)
+    lookup = ray.put(
+        dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
+    )
+    out = extract(ray.data.from_arrow(docs).repartition(8), media_lookup_ref=lookup)
+    acc = extraction_accuracy(out, expected)
+    return pa.Table.from_pydict({k: [v] for k, v in acc.items()})

@@ -1,0 +1,143 @@
+"""Annotation-line readers: the reference's loader/parser surface on Ray Data.
+
+- ``read_recog_annotations``: format1 ``sample.jpg hello`` / format2
+  ``sample.jpg x1 y1 ... x4 y4 hello`` (``mmocr/datasets/base_dataset.py:
+  36-41``, parsed like ``LineStrParser`` ``mmocr/datasets/utils/parser.py:
+  8-51``) -> (filename, text, box).
+- ``read_det_annotations``: line-delimited JSON det annotations
+  (``base_dataset.py:19-34``, ``LineJsonParser`` ``parser.py:98-121``)
+  -> one row per image with a nested annotation list.
+- ``filter_missing_files``: the fork's ``LoaderParsertxt`` missing-image
+  filter (``loader.py:54-118``).
+
+All readers are ``read_text -> map_batches(parse)`` — parse work happens in
+tasks, not on the driver.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+RECOG_SCHEMA = pa.schema(
+    [
+        ("filename", pa.string()),
+        ("text", pa.string()),
+        ("box", pa.list_(pa.float32())),  # empty list when format1
+    ]
+)
+
+
+def parse_recog_lines(batch: pa.Table, separator: str = " ") -> pa.Table:
+    """format1/format2 recognition annotation lines -> rows."""
+    files, texts, boxes = [], [], []
+    for line in batch["text"].to_pylist():
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split(separator)
+        if len(parts) >= 10 and all(_is_float(p) for p in parts[1:9]):
+            # format2: filename + 8 coords + text (text may contain spaces)
+            files.append(parts[0])
+            boxes.append([float(p) for p in parts[1:9]])
+            texts.append(separator.join(parts[9:]))
+        elif len(parts) >= 2:
+            files.append(parts[0])
+            boxes.append([])
+            texts.append(separator.join(parts[1:]))
+        # else: skip degenerate line (reference skips empty/short lines,
+        # loader.py:88-97)
+    return pa.Table.from_pydict(
+        {
+            "filename": pa.array(files, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "box": pa.array(boxes, pa.list_(pa.float32())),
+        }
+    )
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def read_recog_annotations(path: str, separator: str = " "):
+    """annotation txt -> Dataset(filename, text, box)."""
+    import ray.data
+
+    return ray.data.read_text(path).map_batches(
+        parse_recog_lines, batch_format="pyarrow", fn_kwargs={"separator": separator}
+    )
+
+
+DET_ANN_STRUCT = pa.struct(
+    [
+        ("iscrowd", pa.int8()),
+        ("category_id", pa.int32()),
+        ("bbox", pa.list_(pa.float32())),
+        ("segmentation", pa.list_(pa.list_(pa.float32()))),
+    ]
+)
+
+DET_SCHEMA = pa.schema(
+    [
+        ("file_name", pa.string()),
+        ("height", pa.int32()),
+        ("width", pa.int32()),
+        ("annotations", pa.list_(DET_ANN_STRUCT)),
+    ]
+)
+
+
+def parse_det_lines(batch: pa.Table) -> pa.Table:
+    rows = {"file_name": [], "height": [], "width": [], "annotations": []}
+    for line in batch["text"].to_pylist():
+        line = line.strip()
+        if not line:
+            continue
+        obj = json.loads(line)
+        rows["file_name"].append(obj["file_name"])
+        rows["height"].append(int(obj["height"]))
+        rows["width"].append(int(obj["width"]))
+        anns = []
+        for a in obj.get("annotations", []):
+            anns.append(
+                {
+                    "iscrowd": int(a.get("iscrowd", 0)),
+                    "category_id": int(a.get("category_id", 1)),
+                    "bbox": [float(v) for v in a.get("bbox", [])],
+                    "segmentation": [
+                        [float(v) for v in poly]
+                        for poly in a.get("segmentation", [])
+                    ],
+                }
+            )
+        rows["annotations"].append(anns)
+    return pa.Table.from_pydict(rows, schema=DET_SCHEMA)
+
+
+def read_det_annotations(path: str):
+    """line-JSON det annotation file -> Dataset with nested annotations."""
+    import ray.data
+
+    return ray.data.read_text(path).map_batches(
+        parse_det_lines, batch_format="pyarrow"
+    )
+
+
+def filter_missing_files(ds, root: str, filename_col: str = "filename"):
+    """Drop rows whose referenced file does not exist under ``root``
+    (``LoaderParsertxt`` semantics)."""
+    import pyarrow.compute as pc
+
+    def check(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [os.path.exists(os.path.join(root, f)) for f in batch[filename_col].to_pylist()]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(check, batch_format="pyarrow")

@@ -39,6 +39,7 @@ class OCRStage:
         media_lookup_ref=None,
         scale: int = 2,
         min_y_overlap_ratio: float = 0.5,
+        on_error: str = "raise",
     ):
         self.media: dict[str, bytes] | None = None
         if media_lookup_ref is not None:
@@ -50,13 +51,23 @@ class OCRStage:
         self.scale = scale
         self.max_x_dist = 10 * scale
         self.min_y_overlap_ratio = min_y_overlap_ratio
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error}")
+        # "skip" mirrors the reference's broken-sample skip-and-advance loop
+        # (mmocr/datasets/base_dataset.py:128-147): a failing media span is
+        # dropped (the doc still reassembles without it) and counted.
+        self.on_error = on_error
+        self.errors = 0
 
-    def _image_bytes(self, batch: pa.Table, media_indices: np.ndarray) -> list[bytes]:
+    def _image_bytes(self, batch: pa.Table, media_indices: np.ndarray):
+        """-> list of bytes-or-None (None = lookup/join miss)."""
         if "bytes" in batch.column_names:
             col = batch["bytes"]
             return [col[int(i)].as_py() for i in media_indices]
         assert self.media is not None, "no bytes column and no media lookup"
         refs = batch["media_ref"]
+        if self.on_error == "skip":
+            return [self.media.get(refs[int(i)].as_py()) for i in media_indices]
         return [self.media[refs[int(i)].as_py()] for i in media_indices]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -74,8 +85,18 @@ class OCRStage:
         # across the whole batch for one padded recognition pass
         all_frames: list[np.ndarray] = []
         word_meta: list[tuple[int, list[float]]] = []  # (image slot, quad)
+        failed_slots: set[int] = set()
         for slot, data in enumerate(images):
-            img = png_decode(data)
+            try:
+                if data is None:
+                    raise KeyError("missing media bytes")
+                img = png_decode(data)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                failed_slots.add(slot)
+                self.errors += 1
+                continue
             ink = binarize(img)
             for b in detect_word_boxes(img, scale=self.scale):
                 x0, y0, x1, y1 = (int(v) for v in quad_to_rect(b[:8]))
@@ -110,6 +131,10 @@ class OCRStage:
         out = batch.set_column(
             batch.schema.get_field_index("text"), "text", pa.array(text_np, pa.string())
         )
+        if failed_slots:
+            keep = np.ones(len(batch), dtype=bool)
+            keep[media_idx[sorted(failed_slots)]] = False
+            out = out.filter(pa.array(keep))
         return _project_span_rows(out)
 
 

@@ -1,0 +1,98 @@
+import pyarrow as pa
+
+from my_ocr_ray.functions.geometry import rect_to_quad
+from my_ocr_ray.pipelines.evaluate import (
+    extraction_accuracy,
+    hmean_eval,
+    ocr_eval,
+)
+from my_ocr_ray.state.counters import char_frequency_actor, count_chars_batch
+
+
+def test_ocr_eval_aggregation(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [
+            {"pred": "HELLO", "gt": "HELLO"},
+            {"pred": "WORLD", "gt": "W0RLD"},
+            {"pred": "x", "gt": "x"},
+        ]
+    )
+    m = ocr_eval(ds)
+    assert m["word_acc"] == round(2 / 3, 4)
+    assert 0 < m["1-N.E.D"] <= 1.0
+
+
+def test_hmean_eval_aggregation(ray_session):
+    import ray.data
+
+    box = rect_to_quad(0, 0, 10, 10)
+    far = rect_to_quad(50, 50, 60, 60)
+    ds = ray.data.from_items(
+        [
+            {"pred_polys": [box], "gt_polys": [box]},
+            {"pred_polys": [far], "gt_polys": [box]},
+        ]
+    )
+    m = hmean_eval(ds)
+    assert m["recall"] == 0.5 and m["precision"] == 0.5 and m["hmean"] == 0.5
+
+
+def test_extraction_accuracy_end_to_end(ray_session):
+    import ray.data
+
+    from my_ocr_ray.pipelines.extract import extract
+    from my_ocr_ray.synth import corpus_tables
+
+    docs, media, expected = corpus_tables(20, seed=5)
+    lookup = ray_session.put(
+        dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
+    )
+    out = extract(ray.data.from_arrow(docs), media_lookup_ref=lookup)
+    acc = extraction_accuracy(out, expected)
+    assert acc["docs"] == 20
+    assert acc["span_equality_rate"] == 1.0
+    assert acc["media_text_acc"] == 1.0
+
+
+def test_error_skip_policy(ray_session):
+    import ray.data
+
+    from my_ocr_ray.pipelines.extract import extract
+    from my_ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": ["d1"],
+            "spans": [
+                [
+                    {"kind": "text", "text": "several plain content words here now",
+                     "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "missing", "offset": 1},
+                ]
+            ],
+        },
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = extract(
+        ray.data.from_arrow(docs),
+        media_lookup_ref=ray_session.put({}),
+        on_error="skip",
+    ).take_all()
+    assert len(out) == 1
+    spans = [dict(s) for s in out[0]["spans"]]
+    # the broken media span is dropped; the text span survives
+    assert len(spans) == 1 and spans[0]["kind"] == "text"
+
+
+def test_char_frequency_actor(ray_session):
+    actor = char_frequency_actor("test_char_freq")
+    delta = count_chars_batch(["aab", "bc"])
+    assert delta == {"a": 2, "b": 2, "c": 1}
+    ray_session.get(actor.add_counts.remote(delta))
+    ray_session.get(actor.add_counts.remote({"a": 1}))
+    totals = ray_session.get(actor.totals.remote())
+    assert totals["a"] == 3 and totals["c"] == 1
+    w = ray_session.get(actor.rarity_weights.remote())
+    assert w["c"] > w["a"]  # rarer char gets higher weight

