@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": Q.q_lang_id,
         "fingerprint": Q.q_fingerprint,
         "events_parse": Q.q_events_parse,
+        "events_window": Q.q_events_window,
+        "sessionize": Q.q_sessionize,
         "top_docs": Q.q_top_docs,
         "lineitem_agg": Q.q_lineitem_agg,
         # dedup
@@ -150,6 +152,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
+        """,
+        "events_window": """
+        SELECT CAST((epoch_us(ts)//1000000//3600)*3600 AS BIGINT) AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+        WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s, value FROM events),
+        marked AS (
+          SELECT user_id, s, value,
+            CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                   OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+                 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        sess AS (
+          SELECT user_id, s, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+          FROM marked)
+        SELECT user_id, session_idx, min(s) AS session_start,
+               max(s) AS session_end, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_idx
         """,
         "top_docs": """
         SELECT doc_id, n_chars FROM documents

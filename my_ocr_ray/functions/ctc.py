@@ -64,3 +64,72 @@ def ctc_collapse_indices(indices: list[int] | np.ndarray, blank: int) -> list[in
 
 def indices_to_text(indices: list[int], charset: str) -> str:
     return "".join(charset[i] for i in indices)
+
+
+def ctc_topk_frames(logits: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame top-k classes and scores (``ctc.py:113`` topk variant):
+    returns (T, k) index and value matrices, descending score order with
+    index tie-break."""
+    order = np.argsort(-logits, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(logits, order, axis=1)
+    return order, vals
+
+
+def ctc_beam_search(
+    logits: np.ndarray, blank: int, beam_width: int = 5
+) -> list[tuple[list[int], float]]:
+    """Prefix beam search over per-frame class probabilities.
+
+    Reference analog: the width-k beam decoder
+    (``mmocr/models/textrecog/decoders/sar_decoder_with_bs.py:34-148``).
+    Standard CTC prefix beam: probabilities are tracked separately for
+    prefixes ending in blank vs non-blank so repeats collapse correctly.
+    Returns up to ``beam_width`` (prefix, probability) pairs, best first;
+    deterministic via (prob, prefix) sort keys.
+    """
+    t_total, n_classes = logits.shape
+    # normalize frames to probabilities
+    probs = logits / np.maximum(logits.sum(axis=1, keepdims=True), 1e-12)
+    beams: dict[tuple[int, ...], tuple[float, float]] = {(): (1.0, 0.0)}
+    for t in range(t_total):
+        nxt: dict[tuple[int, ...], tuple[float, float]] = {}
+
+        def add(prefix, pb, pnb):
+            b, nb = nxt.get(prefix, (0.0, 0.0))
+            nxt[prefix] = (b + pb, nb + pnb)
+
+        frame = probs[t]
+        for prefix, (pb, pnb) in beams.items():
+            total = pb + pnb
+            add(prefix, total * frame[blank], 0.0)  # extend with blank
+            for c in range(n_classes):
+                if c == blank:
+                    continue
+                p = frame[c]
+                if p <= 0:
+                    continue
+                if prefix and prefix[-1] == c:
+                    # repeated frame merges into the same prefix; only a
+                    # blank-separated repeat creates a new char
+                    add(prefix, 0.0, pnb * p)
+                    add(prefix + (c,), 0.0, pb * p)
+                else:
+                    add(prefix + (c,), 0.0, total * p)
+        pruned = sorted(
+            nxt.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
+        )[:beam_width]
+        beams = dict(pruned)
+    out = sorted(
+        ((list(p), pb + pnb) for p, (pb, pnb) in beams.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return [(p, float(s)) for p, s in out[:beam_width]]
+
+
+def merge_aug_results(results: list[tuple[str, float]]) -> tuple[str, float]:
+    """Max-score vote across test-time-augmentation variants of one record
+    (``encode_decode_recognizer.py:157-168``); ties keep the earliest."""
+    if not results:
+        return "", 0.0
+    best = max(enumerate(results), key=lambda kv: (kv[1][1], -kv[0]))
+    return best[1]

@@ -415,3 +415,23 @@ def q_ocr_eval(sf_dir: str):
     out = extract(ray.data.from_arrow(docs).repartition(8), media_lookup_ref=lookup)
     acc = extraction_accuracy(out, expected)
     return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling event-time window aggregate (map-side window key + grouped
+    partial aggregation — the streaming-window shape on a batch table)."""
+    from ..windows import tumbling_window
+
+    return tumbling_window(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]), window_sec=3600
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based per-user sessionization (stateful order-dependent operator
+    as groupby(user).map_groups with in-group vectorized split)."""
+    from ..windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]), gap_sec=1800
+    )

@@ -1,0 +1,114 @@
+"""Windowed / sessionized aggregation over the ``events`` stream table.
+
+The reference is strictly batch (SURVEY.md §2.9); these are the streaming-
+style operators a training-data pipeline needs, expressed Ray-Data-first:
+
+- ``tumbling_window``: event-time tumbling windows as a derived key +
+  grouped aggregate (window assignment is map-side; only (window, type)
+  partials shuffle).
+- ``sessionize``: per-user gap-based sessions — a ``groupby(user_id).
+  map_groups`` where each group is sorted by time and split at gaps >
+  ``gap_sec`` (the partitioning assumption: one user's events fit one group;
+  salting by time-range would shard pathological users).
+
+Window starts are epoch seconds (int64) so results compare exactly against
+SQL oracles.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _epoch_seconds(ts: pa.ChunkedArray) -> np.ndarray:
+    arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    return pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+
+
+def tumbling_window(events_ds, window_sec: int = 3600):
+    """-> (window_start:int64, event_type, n_events, sum_value rounded 2)."""
+    from ray.data.aggregate import Count, Sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        secs = _epoch_seconds(batch["ts"])
+        win = (secs // window_sec) * window_sec
+        return pa.Table.from_pydict(
+            {
+                "window_start": pa.array(win, pa.int64()),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(), Sum("value"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "window_start": batch["window_start"],
+                "event_type": batch["event_type"],
+                "n_events": pc.cast(batch["count()"], pa.int64()),
+                "sum_value": pc.round(
+                    batch["sum(value)"], ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _sessions_for_group(group: pa.Table, gap_sec: int) -> pa.Table:
+    """One or more users' events -> session rows. Vectorized per group table:
+    lexsort by (user, ts), session breaks where user changes or gap>gap_sec,
+    then reduceat over break boundaries."""
+    users = group["user_id"].to_numpy(zero_copy_only=False)
+    secs = _epoch_seconds(group["ts"])
+    vals = group["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((secs, users))
+    u, s, v = users[order], secs[order], vals[order]
+    new_session = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
+        new_session[1:] = (u[1:] != u[:-1]) | ((s[1:] - s[:-1]) > gap_sec)
+    bounds = np.flatnonzero(new_session)
+    ends = np.concatenate((bounds[1:], [len(u)]))
+    # session index within user: cumulative count of session starts per user
+    sess_id = np.zeros(len(bounds), dtype=np.int64)
+    if len(bounds):
+        user_first = np.ones(len(bounds), dtype=bool)
+        bu = u[bounds]
+        user_first[1:] = bu[1:] != bu[:-1]
+        idx_in_user = np.arange(len(bounds))
+        first_idx = np.maximum.accumulate(np.where(user_first, idx_in_user, 0))
+        sess_id = idx_in_user - first_idx
+    n_events = ends - bounds
+    sum_value = np.add.reduceat(v, bounds) if len(bounds) else np.array([])
+    from .functions.num import round_away
+
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(u[bounds], pa.int64()),
+            "session_idx": pa.array(sess_id, pa.int64()),
+            "session_start": pa.array(s[bounds], pa.int64()),
+            "session_end": pa.array(s[ends - 1], pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "sum_value": pa.array(round_away(sum_value, 2), pa.float64()),
+        }
+    )
+
+
+def sessionize(events_ds, gap_sec: int = 1800):
+    """-> (user_id, session_idx, session_start, session_end, n_events,
+    sum_value): gap-based sessions per user."""
+
+    def build(group: pa.Table) -> pa.Table:
+        return _sessions_for_group(group, gap_sec)
+
+    return events_ds.groupby("user_id").map_groups(
+        build, batch_format="pyarrow"
+    )
