@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.q_sessionize,
         "top_docs": Q.q_top_docs,
         "lineitem_agg": Q.q_lineitem_agg,
+        "orders_join": Q.q_orders_join,
         # dedup
         "exact_dedup": Q.q_exact_dedup,
         "minhash_sig": Q.q_minhash_sig,
@@ -187,6 +188,14 @@ def oracle_sql() -> dict[str, str]:
                round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_join": """
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
         """,
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

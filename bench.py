@@ -100,6 +100,8 @@ def run_queries(sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="verify bench-scale output against the golden corpus")
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--n-docs", type=int, default=None)
@@ -149,7 +151,24 @@ def main() -> None:
         return
 
     _ray_init(num_cpus)
-    flag = run_flagship(n_docs, num_cpus, os.path.join(BENCH_TMP, f"out_{num_cpus}"))
+    out_dir = os.path.join(BENCH_TMP, f"out_{num_cpus}")
+    flag = run_flagship(n_docs, num_cpus, out_dir)
+    if args.check:
+        import glob
+
+        import pyarrow.dataset as pads
+        import ray.data
+
+        from my_ocr_ray.pipelines.evaluate import extraction_accuracy
+
+        corpus = corpus_dir(n_docs)
+        expected = pads.dataset(
+            sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
+        ).to_table()
+        got = ray.data.read_parquet(
+            sorted(glob.glob(f"{out_dir}/*.parquet"))
+        )
+        flag["accuracy"] = extraction_accuracy(got, expected)
     queries = {} if args.flagship_only else run_queries(sf_dir)
     payload = {
         "metric": "extract_total_sec",
@@ -161,6 +180,8 @@ def main() -> None:
         "docs_per_sec": round(flag["docs_per_sec"], 2),
         "n_docs": flag["n_docs"],
     }
+    if "accuracy" in flag:
+        payload["accuracy"] = flag["accuracy"]
     print(json.dumps(payload))
     import ray
 

@@ -238,3 +238,107 @@ def crop_quad(
     cx1 = min(w, int(np.ceil(x1)) + dx)
     cy1 = min(h, int(np.ceil(y1)) + dy)
     return img[cy0:cy1, cx0:cx1]
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull; returns CCW-in-math-coords hull
+    vertices (Nx2), deterministic."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points) -> list[float]:
+    """Minimum-area enclosing rectangle (rotating calipers over hull edges),
+    the cv2.minAreaRect analog used by ``points2boundary``
+    (``mmocr/core/mask.py:7-50``). Returns 8 coords clockwise from top-left.
+    """
+    hull = convex_hull(np.asarray(points, dtype=np.float64).reshape(-1, 2))
+    if len(hull) == 1:
+        x, y = hull[0]
+        return [x, y, x, y, x, y, x, y]
+    if len(hull) == 2:
+        (x0, y0), (x1, y1) = hull
+        return sort_vertex8([x0, y0, x1, y1, x1, y1, x0, y0])
+    best = None
+    n = len(hull)
+    for i in range(n):
+        edge = hull[(i + 1) % n] - hull[i]
+        norm = np.linalg.norm(edge)
+        if norm == 0:
+            continue
+        ux = edge / norm
+        uy = np.array([-ux[1], ux[0]])
+        xs = hull @ ux
+        ys = hull @ uy
+        area = (xs.max() - xs.min()) * (ys.max() - ys.min())
+        if best is None or area < best[0] - 1e-12:
+            corners = [
+                xs.min() * ux + ys.min() * uy,
+                xs.max() * ux + ys.min() * uy,
+                xs.max() * ux + ys.max() * uy,
+                xs.min() * ux + ys.max() * uy,
+            ]
+            best = (area, corners)
+    return sort_vertex8([float(v) for c in best[1] for v in c])
+
+
+def unclip_polygon(poly, unclip_ratio: float = 1.5) -> list[float]:
+    """Dilate a convex polygon outward by the DBNet unclip distance
+    ``d = area * ratio / perimeter`` (``wrapper.py:168-174`` semantics;
+    pyclipper replaced by exact convex edge-offset + line intersection)."""
+    p = _ensure_cw(np.asarray(poly, dtype=np.float64).reshape(-1, 2))
+    n = len(p)
+    area = polygon_area(p.reshape(-1))
+    perimeter = float(
+        np.linalg.norm(np.diff(np.vstack([p, p[:1]]), axis=0), axis=1).sum()
+    )
+    if perimeter == 0:
+        return [float(v) for v in p.reshape(-1)]
+    d = area * unclip_ratio / perimeter
+    # offset each edge outward (CW in screen coords -> outward normal is
+    # the left normal), then intersect consecutive offset edge lines
+    lines = []
+    for i in range(n):
+        a, b = p[i], p[(i + 1) % n]
+        e = b - a
+        norm = np.linalg.norm(e)
+        if norm == 0:
+            continue
+        nvec = np.array([-e[1], e[0]]) / norm  # outward for _ensure_cw output
+        lines.append((a + nvec * d, b + nvec * d))
+    out = []
+    m = len(lines)
+    for i in range(m):
+        (a1, b1), (a2, b2) = lines[i], lines[(i + 1) % m]
+        d1, d2 = b1 - a1, b2 - a2
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:
+            out.append(b1)
+            continue
+        t = ((a2[0] - a1[0]) * d2[1] - (a2[1] - a1[1]) * d2[0]) / denom
+        out.append(a1 + t * d1)
+    return [float(v) for pt in out for v in pt]
+
+
+def filter_boundaries_by_score(
+    boundaries: list[list[float]], min_score: float
+) -> list[list[float]]:
+    """Score-threshold boundary filter (``filter_2dlist_result`` /
+    ``select_top_boundary``, ``mmocr/core/evaluation/utils.py:385-464``)."""
+    return [b for b in boundaries if b[-1] >= min_score]

@@ -435,3 +435,49 @@ def q_sessionize(sf_dir: str):
     return sessionize(
         _read(sf_dir, "events", ["user_id", "ts", "value"]), gap_sec=1800
     )
+
+
+def q_orders_join(sf_dir: str):
+    """Two-stage hash join (orders x customer x nation) + grouped rollup —
+    the relational-join coverage the reference lacks (its only 'join' is the
+    det->recog fan-out, SURVEY.md §2.4)."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = max(2, min(16, cpus // 2))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    oc = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    ocn = oc.join(
+        nation,
+        join_type="inner",
+        num_partitions=parts,
+        on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    agg = ocn.groupby("n_name").aggregate(Count(), Sum("o_totalprice"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "n_name": batch["n_name"],
+                "n_orders": pc.cast(batch["count()"], pa.int64()),
+                "revenue": pc.round(
+                    batch["sum(o_totalprice)"], ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
