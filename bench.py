@@ -121,6 +121,11 @@ def main() -> None:
         n_docs = 20 * pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
     if args.scaling:
+        if not args.n_docs:
+            # scaling needs a long-enough job that fixed costs (actor spawn,
+            # planning, lookup load ~8s) amortize — the target workload is
+            # 10^12 docs; a 16-second job measures startup, not scaling
+            n_docs *= 4
         results = {}
         for cpus in (8, 32):
             best = None

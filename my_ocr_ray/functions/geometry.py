@@ -157,9 +157,14 @@ def stitch_boxes_into_lines(
     """
     if not boxes:
         return []
-    order = sorted(
-        range(len(boxes)), key=lambda i: (quad_to_rect(boxes[i]["box"])[0], i)
-    )
+    rect = [quad_to_rect(b["box"]) for b in boxes]  # computed once per box
+
+    def same_line(i: int, j: int) -> bool:
+        inter = min(rect[i][3], rect[j][3]) - max(rect[i][1], rect[j][1])
+        minh = min(rect[i][3] - rect[i][1], rect[j][3] - rect[j][1])
+        return minh > 0 and max(0.0, inter) / minh >= min_y_overlap_ratio
+
+    order = sorted(range(len(boxes)), key=lambda i: (rect[i][0], i))
     used = [False] * len(boxes)
     lines: list[dict] = []
     for oi in order:
@@ -167,25 +172,22 @@ def stitch_boxes_into_lines(
             continue
         used[oi] = True
         members = [oi]
-        right = quad_to_rect(boxes[oi]["box"])[2]
+        right = rect[oi][2]
         for oj in order:
             if used[oj]:
                 continue
-            bx0 = quad_to_rect(boxes[oj]["box"])[0]
-            if (
-                is_on_same_line(boxes[oi]["box"], boxes[oj]["box"], min_y_overlap_ratio)
-                and bx0 - right <= max_x_dist
-            ):
+            if same_line(oi, oj) and rect[oj][0] - right <= max_x_dist:
                 used[oj] = True
                 members.append(oj)
-                right = max(right, quad_to_rect(boxes[oj]["box"])[2])
-        members.sort(key=lambda i: (quad_to_rect(boxes[i]["box"])[0], i))
+                right = max(right, rect[oj][2])
+        members.sort(key=lambda i: (rect[i][0], i))
         text = " ".join(boxes[i]["text"] for i in members)
-        rects = np.array([quad_to_rect(boxes[i]["box"]) for i in members])
-        x0, y0 = rects[:, 0].min(), rects[:, 1].min()
-        x1, y1 = rects[:, 2].max(), rects[:, 3].max()
-        lines.append({"box": rect_to_quad(x0, y0, x1, y1), "text": text})
-    lines.sort(key=lambda d: (quad_to_rect(d["box"])[1], quad_to_rect(d["box"])[0]))
+        x0 = min(rect[i][0] for i in members)
+        y0 = min(rect[i][1] for i in members)
+        x1 = max(rect[i][2] for i in members)
+        y1 = max(rect[i][3] for i in members)
+        lines.append({"box": rect_to_quad(x0, y0, x1, y1), "text": text, "_y": y0, "_x": x0})
+    lines.sort(key=lambda d: (d.pop("_y"), d.pop("_x")))
     return lines
 
 
@@ -342,3 +344,28 @@ def filter_boundaries_by_score(
     """Score-threshold boundary filter (``filter_2dlist_result`` /
     ``select_top_boundary``, ``mmocr/core/evaluation/utils.py:385-464``)."""
     return [b for b in boundaries if b[-1] >= min_score]
+
+
+def point_to_line_distance(point, a, b) -> float:
+    """Distance from ``point`` to segment line ``a``-``b``
+    (``base_textdet_targets.py:18-52`` analog)."""
+    p = np.asarray(point, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ab = b - a
+    denom = np.linalg.norm(ab)
+    if denom == 0:
+        return float(np.linalg.norm(p - a))
+    return float(abs(ab[0] * (a[1] - p[1]) - ab[1] * (a[0] - p[0])) / denom)
+
+
+def fourier2poly(coeffs: np.ndarray, n_points: int = 50) -> np.ndarray:
+    """Reconstruct a closed polygon from complex Fourier coefficients via
+    inverse DFT (``wrapper.py:501-522`` FCENet semantics): ``coeffs`` is a
+    (2k+1,) complex vector ordered [-k..0..k]; returns (n_points, 2)."""
+    c = np.asarray(coeffs, dtype=np.complex128)
+    k = (len(c) - 1) // 2
+    t = np.arange(n_points) / n_points
+    freqs = np.arange(-k, k + 1)
+    pts = (c[None, :] * np.exp(2j * np.pi * freqs[None, :] * t[:, None])).sum(axis=1)
+    return np.stack([pts.real, pts.imag], axis=1)

@@ -122,3 +122,28 @@ def hmean_finalize(sums: dict) -> dict:
         "precision": round(precision, 4),
         "hmean": round(h, 4),
     }
+
+
+def confusion_counts(preds, gts, n_classes: int) -> np.ndarray:
+    """Per-row-partial confusion matrix via bincount
+    (``compute_f1_score``, ``mmocr/core/evaluation/kie_metric.py:5-29``)."""
+    p = np.asarray(preds, dtype=np.int64)
+    g = np.asarray(gts, dtype=np.int64)
+    return np.bincount(
+        g * n_classes + p, minlength=n_classes * n_classes
+    ).reshape(n_classes, n_classes)
+
+
+def macro_f1(confusion: np.ndarray, ignore: tuple[int, ...] = ()) -> float:
+    """Macro-averaged F1 over classes from a summed confusion matrix."""
+    n = confusion.shape[0]
+    f1s = []
+    for c in range(n):
+        if c in ignore:
+            continue
+        tp = confusion[c, c]
+        fp = confusion[:, c].sum() - tp
+        fn = confusion[c, :].sum() - tp
+        denom = 2 * tp + fp + fn
+        f1s.append(2 * tp / denom if denom else 0.0)
+    return round(float(np.mean(f1s)) if f1s else 0.0, 4)

@@ -145,23 +145,26 @@ def word_frame_logits(word_ink: np.ndarray, scale: int = 2) -> np.ndarray:
     # inter-glyph gap is one spacing column (= scale), so raw column runs ARE
     # the glyph segments — no merge.
     glyph_runs = _runs(word_ink.any(axis=0))
-    frames: list[np.ndarray] = []
-    base = 0.05 / n_classes
-    for gi, (x0, x1) in enumerate(glyph_runs):
+    if not glyph_runs:
+        return np.zeros((1, n_classes), dtype=np.float32)
+    classes: list[tuple[int, float]] = []
+    for x0, x1 in glyph_runs:
         g = word_ink[:, x0:x1]
         gr = np.flatnonzero(g.any(axis=1))
         g = g[gr[0] : gr[-1] + 1]
-        small = _downsample_block(g, scale)
-        cls, conf = _match_glyph(small)
-        if gi > 0:
-            f = np.full(n_classes, base, dtype=np.float32)
-            f[BLANK_IDX] = 0.95
-            frames.append(f)
-        for _ in range(FRAMES_PER_GLYPH):
-            f = np.full(n_classes, base, dtype=np.float32)
-            f[cls] = 0.5 + 0.5 * conf
-            frames.append(f)
-    return np.stack(frames) if frames else np.zeros((1, n_classes), dtype=np.float32)
+        classes.append(_match_glyph(_downsample_block(g, scale)))
+    # one allocation: [cls cls blank cls cls blank ... cls cls]
+    n = len(classes)
+    t_total = n * FRAMES_PER_GLYPH + (n - 1)
+    base = 0.05 / n_classes
+    frames = np.full((t_total, n_classes), base, dtype=np.float32)
+    stride = FRAMES_PER_GLYPH + 1
+    blank_rows = np.arange(FRAMES_PER_GLYPH, t_total, stride)
+    frames[blank_rows, BLANK_IDX] = 0.95
+    for gi, (cls, conf) in enumerate(classes):
+        r0 = gi * stride
+        frames[r0 : r0 + FRAMES_PER_GLYPH, cls] = 0.5 + 0.5 * conf
+    return frames
 
 
 def pad_frame_batch(

@@ -167,3 +167,20 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
         return 1.0
     u = len(sa | sb)
     return round_away_scalar(len(sa & sb) / u, 6) if u else 0.0
+
+
+def string_strip(text: str, strip: bool = True, strip_pos: str = "both",
+                 strip_str: str | None = None) -> str:
+    """``StringStrip`` semantics (``mmocr/utils/string_util.py:1-35``)."""
+    if not strip:
+        return text
+    if strip_pos == "left":
+        return text.lstrip(strip_str)
+    if strip_pos == "right":
+        return text.rstrip(strip_str)
+    return text.strip(strip_str)
+
+
+def is_chinese_char(ch: str) -> bool:
+    """CJK-range predicate (``data_generation_tools.py:110-117``)."""
+    return bool(CJK_RE.match(ch))

@@ -35,10 +35,14 @@ from ..stages.textstage import strip_boilerplate
 
 
 def load_media_lookup(media_path: str):
-    """Read the media table and ``ray.put`` a {media_ref: png_bytes} dict.
+    """Read the media table and ``ray.put`` it as a (media_ref, bytes) Arrow
+    table.
 
-    Returns an ObjectRef; every OCR actor resolves it once (zero per-batch
-    re-shipping). Only for media tables that fit comfortably in plasma.
+    Returns an ObjectRef; every OCR actor resolves it once. Broadcasting the
+    ARROW TABLE (not a Python dict) matters: ``ray.get`` of an Arrow table is
+    zero-copy out of plasma, so per-actor startup cost is just building the
+    media_ref -> row-index dict, and the image bytes are shared across all
+    actors on a node instead of deserialized per actor.
     """
     import ray
 
@@ -50,10 +54,7 @@ def load_media_lookup(media_path: str):
         )
     else:
         tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
-    lookup = dict(
-        zip(tbl["media_ref"].to_pylist(), tbl["bytes"].to_pylist())
-    )
-    return ray.put(lookup)
+    return ray.put(tbl.combine_chunks())
 
 
 def extract(

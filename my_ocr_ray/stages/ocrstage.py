@@ -33,6 +33,22 @@ from ..functions.ocr import (
 )
 
 
+class _MediaTableLookup:
+    """media_ref -> bytes over a broadcast Arrow table (zero-copy payloads)."""
+
+    def __init__(self, tbl: pa.Table):
+        refs = tbl["media_ref"].to_pylist()
+        self._index = {r: i for i, r in enumerate(refs)}
+        self._bytes = tbl["bytes"].combine_chunks()
+
+    def __getitem__(self, ref: str) -> bytes:
+        return self._bytes[self._index[ref]].as_py()
+
+    def get(self, ref: str):
+        i = self._index.get(ref)
+        return None if i is None else self._bytes[i].as_py()
+
+
 class OCRStage:
     def __init__(
         self,
@@ -41,13 +57,19 @@ class OCRStage:
         min_y_overlap_ratio: float = 0.5,
         on_error: str = "raise",
     ):
-        self.media: dict[str, bytes] | None = None
+        self.media = None  # dict[str, bytes] | _MediaTableLookup
         if media_lookup_ref is not None:
             import ray
 
-            # One ray.get per actor; the dict lives in the object store once
-            # per node (broadcast small side, never re-shipped per batch).
-            self.media = ray.get(media_lookup_ref)
+            # One ray.get per actor. An Arrow table resolves zero-copy from
+            # plasma (bytes shared across actors on the node); only the
+            # ref -> row-index dict is built per actor. Plain dicts are also
+            # accepted for tests/small corpora.
+            obj = ray.get(media_lookup_ref)
+            if isinstance(obj, pa.Table):
+                self.media = _MediaTableLookup(obj)
+            else:
+                self.media = obj
         self.scale = scale
         self.max_x_dist = 10 * scale
         self.min_y_overlap_ratio = min_y_overlap_ratio
@@ -99,7 +121,8 @@ class OCRStage:
                 continue
             ink = binarize(img)
             for b in detect_word_boxes(img, scale=self.scale):
-                x0, y0, x1, y1 = (int(v) for v in quad_to_rect(b[:8]))
+                # detect emits axis-aligned quads [x0,y0,x1,y0,x1,y1,x0,y1]
+                x0, y0, x1, y1 = int(b[0]), int(b[1]), int(b[4]), int(b[5])
                 all_frames.append(
                     word_frame_logits(ink[y0:y1, x0:x1], scale=self.scale)
                 )
