@@ -75,7 +75,7 @@ def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:
     t0 = time.time()
     lookup = load_media_lookup(media_files)
     ds = ray.data.read_parquet(docs_files)
-    result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=256)
+    result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=1024)
     result.write_parquet(out_dir)
     wall = time.time() - t0
     return {"wall_sec": wall, "docs_per_sec": n_docs / wall, "n_docs": n_docs}
@@ -122,10 +122,11 @@ def main() -> None:
 
     if args.scaling:
         if not args.n_docs:
-            # scaling needs a long-enough job that fixed costs (actor spawn,
-            # planning, lookup load ~8s) amortize — the target workload is
-            # 10^12 docs; a 16-second job measures startup, not scaling
-            n_docs *= 4
+            # scaling needs a long-enough job that fixed costs (cold worker
+            # start + imports + media index ~20s) amortize — the target
+            # workload is 10^12 docs; a short job measures startup, not
+            # steady-state scaling
+            n_docs *= 8
         results = {}
         for cpus in (8, 32):
             best = None

@@ -16,8 +16,6 @@ production deployment would swap in a vectorized 64-bit hash.
 """
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pyarrow as pa
 
 PAD, CLS, SEP, UNK = 0, 101, 102, 100  # BERT-convention special ids

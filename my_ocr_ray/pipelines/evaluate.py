@@ -8,7 +8,6 @@ matching inside hmean is per-image-local, ``hmean_iou.py:7-116``), a tiny
 """
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions.metrics import (

@@ -132,8 +132,6 @@ def read_det_annotations(path: str):
 def filter_missing_files(ds, root: str, filename_col: str = "filename"):
     """Drop rows whose referenced file does not exist under ``root``
     (``LoaderParsertxt`` semantics)."""
-    import pyarrow.compute as pc
-
     def check(batch: pa.Table) -> pa.Table:
         mask = pa.array(
             [os.path.exists(os.path.join(root, f)) for f in batch[filename_col].to_pylist()]

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.ctc import ctc_greedy_decode, indices_to_text
-from ..functions.geometry import quad_to_rect, stitch_boxes_into_lines
+from ..functions.geometry import stitch_boxes_into_lines
 from ..functions.imaging import DICT36, png_decode
 from ..functions.ocr import (
     BLANK_IDX,

@@ -1,0 +1,129 @@
+"""Semantic tests for the dedup/ANN family: injected duplicates must be
+found (the oracles check Ray==SQL; these check the operators do what dedup
+is FOR)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_table():
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "streaming shuffle executors move blocks through the object store",
+        "arrow batches flow zero copy from plasma into vectorized kernels",
+        "a completely different sentence about nothing in particular here",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # exact duplicate of doc 0 and near-duplicate (one word changed) of doc 1
+    rows.append({"doc_id": 100, "text": base[0]})
+    rows.append(
+        {"doc_id": 101,
+         "text": "streaming shuffle executors move blocks through the object pool"}
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_finds_duplicate(ray_session, doc_table):
+    import ray.data
+
+    from my_ocr_ray.dedup import exact_dedup
+
+    out = exact_dedup(ray.data.from_arrow(doc_table)).take_all()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 2          # doc 0 + its copy doc 100
+    assert 100 not in by_id       # the copy is deduped away (min doc_id kept)
+    assert by_id[1] == 1
+
+
+def test_lsh_finds_near_duplicate_pair(ray_session, doc_table):
+    import ray.data
+
+    from my_ocr_ray.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        ray.data.from_arrow(doc_table), num_hashes=8, band_size=2, k=3
+    ).take_all()
+    pairset = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 100) in pairset    # exact dup always collides
+    assert (1, 101) in pairset    # near-dup shares most shingles
+
+
+def test_jaccard_separates_dup_from_unrelated():
+    from my_ocr_ray.functions.textproc import jaccard_ngrams
+
+    a = "streaming shuffle executors move blocks through the object store"
+    b = "streaming shuffle executors move blocks through the object pool"
+    c = "a completely different sentence about nothing in particular here"
+    assert jaccard_ngrams(a, b) > 0.5 > jaccard_ngrams(a, c)
+
+
+def test_simhash_near_duplicates_close(doc_table):
+    from my_ocr_ray.functions.textproc import hamming64, simhash64
+
+    texts = doc_table["text"].to_pylist()
+    ids = doc_table["doc_id"].to_pylist()
+    h = {i: simhash64(t) for i, t in zip(ids, texts)}
+    assert hamming64(h[0], h[100]) == 0
+    assert hamming64(h[1], h[101]) < hamming64(h[1], h[3])
+
+
+def test_embedding_dups_finds_injected_duplicate(ray_session):
+    import ray.data
+
+    from my_ocr_ray.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[31] = vecs[7] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99
+    ).take_all()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(7, 31)}
+
+
+def test_ivf_recall_against_brute_force(ray_session):
+    import ray.data
+
+    from my_ocr_ray.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(300, 32)).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    qref = ray_session.put(
+        {"qids": np.arange(3, dtype=np.int64), "vectors": vecs[:3]}
+    )
+    ds = ray.data.from_arrow(tbl)
+    exact = brute_force_topk(ds, qref, k=5).take_all()
+    approx = ivf_topk(
+        ray.data.from_arrow(tbl), qref,
+        centroids=vecs[:20], k=5, nprobe=8,
+    ).take_all()
+    def ids(rows, q):
+        return {r["vec_id"] for r in rows if r["query_id"] == q}
+    recalls = [len(ids(exact, q) & ids(approx, q)) / 5 for q in range(3)]
+    # every query finds itself; probing 8/20 cells keeps recall high
+    assert all(r >= 0.6 for r in recalls)
+    for q in range(3):
+        top1 = [r for r in exact if r["query_id"] == q and r["rank"] == 1]
+        assert top1[0]["vec_id"] == q and abs(top1[0]["sim"] - 1.0) < 1e-6
