@@ -139,3 +139,46 @@ def filter_missing_files(ds, root: str, filename_col: str = "filename"):
         return batch.filter(mask)
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def parse_coco_json(data: dict) -> pa.Table:
+    """COCO-style det annotations -> the DET_SCHEMA table.
+
+    ``IcdarDataset.load_annotations`` analog (``mmocr/datasets/
+    icdar_dataset.py:31-55``): joins the ``image_id -> annotations`` index
+    into one nested row per image at ingest (pre-joined struct column,
+    SURVEY.md §2.4)."""
+    by_img: dict[int, list[dict]] = {}
+    for a in data.get("annotations", []):
+        by_img.setdefault(int(a["image_id"]), []).append(a)
+    rows = {"file_name": [], "height": [], "width": [], "annotations": []}
+    for img in data.get("images", []):
+        rows["file_name"].append(img["file_name"])
+        rows["height"].append(int(img["height"]))
+        rows["width"].append(int(img["width"]))
+        anns = []
+        for a in by_img.get(int(img["id"]), []):
+            anns.append(
+                {
+                    "iscrowd": int(a.get("iscrowd", 0)),
+                    "category_id": int(a.get("category_id", 1)),
+                    "bbox": [float(v) for v in a.get("bbox", [])],
+                    "segmentation": [
+                        [float(v) for v in poly]
+                        for poly in a.get("segmentation", [])
+                    ],
+                }
+            )
+        rows["annotations"].append(anns)
+    return pa.Table.from_pydict(rows, schema=DET_SCHEMA)
+
+
+def read_coco_annotations(path: str, limit: int | None = None):
+    """COCO json file -> Dataset (with optional ``select_first_k`` debug
+    limit, ``icdar_dataset.py:24,49-54`` -> ``ds.limit``)."""
+    import ray.data
+
+    with open(path) as f:
+        data = json.load(f)
+    ds = ray.data.from_arrow(parse_coco_json(data))
+    return ds.limit(limit) if limit else ds

@@ -108,3 +108,62 @@ def test_pdf_layout_stage_with_fake_decoder(ray_session):
     ).take_all()
     assert [r["text"] for r in out] == ["left top", "left bottom", "right col"]
     assert [r["order"] for r in out] == [0, 1, 2]
+
+
+def test_coco_reader(ray_session, tmp_path):
+    from my_ocr_ray.sources.lines import read_coco_annotations
+
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "height": 10, "width": 20},
+            {"id": 2, "file_name": "b.jpg", "height": 30, "width": 40},
+        ],
+        "annotations": [
+            {"image_id": 1, "iscrowd": 0, "category_id": 1,
+             "bbox": [0, 0, 5, 5], "segmentation": [[0, 0, 5, 0, 5, 5, 0, 5]]},
+        ],
+    }
+    p = tmp_path / "coco.json"
+    p.write_text(json.dumps(coco))
+    rows = sorted(read_coco_annotations(str(p)).take_all(),
+                  key=lambda r: r["file_name"])
+    assert len(rows) == 2
+    assert len(rows[0]["annotations"]) == 1 and rows[1]["annotations"] == []
+    assert read_coco_annotations(str(p), limit=1).count() == 1
+
+
+def test_audio_video_stub_stages(ray_session):
+    import numpy as np
+    import ray.data
+
+    from my_ocr_ray.sources.av import (
+        AudioDecoder,
+        AudioFeatureStage,
+        FakePcmDecoder,
+        FakeRawVideoDecoder,
+        VideoFrameSampleStage,
+    )
+
+    with pytest.raises(NotImplementedError):
+        AudioDecoder().decode(b"")
+
+    pcm = np.sin(np.linspace(0, 40 * np.pi, 16000)).astype(np.float32)
+    ds = ray.data.from_items([{"clip_id": "c1", "bytes": pcm.tobytes()}])
+    out = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"decoder": FakePcmDecoder()}, concurrency=1,
+    ).take_all()
+    assert out[0]["n_samples"] == 16000 and out[0]["duration_sec"] == 1.0
+    assert 0.5 < out[0]["rms"] < 0.9
+    assert 38 <= out[0]["zero_crossings"] <= 41  # endpoint sin(k*pi) jitter
+
+    frames = np.stack([np.full((4, 6), v, dtype=np.uint8) for v in (10, 20, 30, 40)])
+    video = b"6,4,4|" + frames.tobytes()
+    ds = ray.data.from_items([{"clip_id": "v1", "bytes": video}])
+    out = ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"decoder": FakeRawVideoDecoder(), "stride": 2},
+        concurrency=1,
+    ).take_all()
+    assert [r["frame_idx"] for r in out] == [0, 2]
+    assert [r["mean_luma"] for r in out] == [10.0, 30.0]
