@@ -92,6 +92,8 @@ def extract(
         join_num_partitions = shuffle_partitions
     if ocr_concurrency is None:
         reserve = 2 + 0.25 * shuffle_partitions
+        if two_phase_salt:
+            reserve += 0.25 * shuffle_partitions  # second hash exchange
         if media_ds is not None:
             reserve += 0.25 * join_num_partitions
         ocr_concurrency = max(1, int(cpus - reserve))
@@ -126,7 +128,9 @@ def extract(
     processed = spans.map_batches(OCRStage, **ocr_kwargs)
 
     if two_phase_salt:
-        return reassemble_two_phase(processed, n_salt=two_phase_salt)
+        return reassemble_two_phase(
+            processed, n_salt=two_phase_salt, num_partitions=shuffle_partitions
+        )
     if shuffle == "hash":
         return reassemble_hash(processed, num_partitions=shuffle_partitions)
     return reassemble(processed)

@@ -129,14 +129,37 @@ def _merge_partials(group: pa.Table) -> pa.Table:
     return _build_doc_rows(explode_spans(group, with_sentinel=True))
 
 
-def reassemble_two_phase(span_rows, n_salt: int = 8):
-    """Salted two-phase reassembly for skewed multi-span documents."""
+def reassemble_two_phase(
+    span_rows, n_salt: int = 8, num_partitions: int | None = None
+):
+    """Salted two-phase reassembly for skewed multi-span documents.
+
+    Both exchanges are hash repartitions (like :func:`reassemble_hash`):
+    phase 1 hash-partitions on (doc_id, salt) — a hot doc's rows split
+    across up to ``n_salt`` partitions, each building sorted partial span
+    lists; phase 2 hash-partitions the (at most ``n_salt``) partial rows
+    per doc on doc_id and merges.
+    """
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 2))
     salted = span_rows.map_batches(
         _partial_key, batch_format="pyarrow", fn_kwargs={"n_salt": n_salt}
     )
-    partial = salted.groupby(["doc_id", "salt"]).map_groups(
-        _partial_build, batch_format="pyarrow"
+    salted.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    salted.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    partial = salted.repartition(
+        num_blocks=num_partitions, keys=["doc_id", "salt"]
+    ).map_batches(
+        _partial_build, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
-    return partial.groupby("doc_id").map_groups(
-        _merge_partials, batch_format="pyarrow"
+    return partial.repartition(
+        num_blocks=num_partitions, keys=["doc_id"]
+    ).map_batches(
+        _merge_partials, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
