@@ -260,6 +260,27 @@ def oracle_sql() -> dict[str, str]:
                round(sim, 6) AS sim
         FROM r WHERE rn <= 5
         """,
-        # no oracle: flagship_extract (OCR semantics), simhash (bit ops),
+        "simhash": r"""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+              FROM t),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h, unnest(generate_series(0, 63)) AS u(i)
+          GROUP BY doc_id, i),
+        vals AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0
+                             THEN (CAST(1 AS UBIGINT) << i)
+                             ELSE CAST(0 AS UBIGINT) END) AS sh
+          FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               lpad(lower(to_hex(coalesce(v.sh, 0))), 16, '0') AS simhash
+        FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+        """,
+        # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks
     }
