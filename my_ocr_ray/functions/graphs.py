@@ -1,0 +1,93 @@
+"""Graph grouping kernels: edge connected components, cluster labels,
+min-connect path, table row/col F1.
+
+Pure-python/numpy analogs of the reference's DRRG grouping utilities
+(``graph_propagation`` / ``connected_components`` / ``clusters2labels`` /
+``min_connect_path``, ``mmocr/models/textdet/postprocess/wrapper.py:544-741``)
+and the fork's table-structure metric (``cal_row_col_f1``,
+``mmocr/core/evaluation/kie_metric.py:78-126``). All per-record local —
+used inside ``map_batches``, never a shuffle.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def connected_components_edges(n_nodes: int, edges) -> list[list[int]]:
+    """Union-find components of an undirected edge list; components and
+    their members sorted ascending (deterministic)."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for i in range(n_nodes):
+        groups.setdefault(find(i), []).append(i)
+    return [sorted(v) for _, v in sorted(groups.items())]
+
+
+def clusters2labels(clusters: list[list[int]], n_nodes: int) -> np.ndarray:
+    """Component list -> per-node label vector (``wrapper.py`` semantics)."""
+    labels = np.full(n_nodes, -1, dtype=np.int64)
+    for lbl, members in enumerate(clusters):
+        for m in members:
+            labels[m] = lbl
+    return labels
+
+
+def min_connect_path(points) -> list[int]:
+    """Greedy nearest-neighbour chain through 2-D points, starting from the
+    lexicographically smallest point; ties broken by index
+    (``min_connect_path`` analog for ordering text components)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n == 0:
+        return []
+    start = int(np.lexsort((pts[:, 1], pts[:, 0]))[0])
+    unvisited = set(range(n)) - {start}
+    path = [start]
+    while unvisited:
+        cur = pts[path[-1]]
+        best = min(
+            unvisited,
+            key=lambda i: (float(np.linalg.norm(pts[i] - cur)), i),
+        )
+        unvisited.remove(best)
+        path.append(best)
+    return path
+
+
+def row_col_f1(
+    pred_row_edges, pred_col_edges, gt_row_edges, gt_col_edges, n_cells: int
+) -> float:
+    """Table-structure F1 (fork's ``cal_row_col_f1``): group cells into
+    rows/cols by edge connected components, score set-equality of the
+    predicted vs ground-truth groupings, average row and col F1."""
+
+    def group_sets(edges):
+        return {
+            tuple(c)
+            for c in connected_components_edges(n_cells, edges)
+        }
+
+    def f1(pred_edges, gt_edges):
+        p, g = group_sets(pred_edges), group_sets(gt_edges)
+        tp = len(p & g)
+        prec = tp / len(p) if p else 0.0
+        rec = tp / len(g) if g else 0.0
+        return 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+
+    return round(
+        (f1(pred_row_edges, gt_row_edges) + f1(pred_col_edges, gt_col_edges)) / 2, 4
+    )

@@ -380,8 +380,7 @@ def q_flagship_extract(sf_dir: str, n_docs: int | None = None):
     )
     out = extract(
         ray.data.from_arrow(docs).repartition(8),
-        media_lookup_ref=lookup,
-        ocr_concurrency=2,
+        media_lookup_ref=lookup,  # concurrency auto-sized to the session
     )
 
     def flatten(batch: pa.Table) -> pa.Table:
