@@ -116,3 +116,52 @@ def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
             (agg["sum(media_correct)"] or 0) / max(agg["sum(media_spans)"] or 0, 1), 6
         ),
     }
+
+
+def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5) -> dict:
+    """Best-over-threshold hmean sweep (``mmocr/core/evaluation/hmean.py:
+    76-149``): per threshold, score-filter predicted boundaries then run the
+    per-image matching; dataset-level best hmean wins.
+
+    ``ds`` rows: (pred_boundaries: list<list<float>> with trailing score,
+    gt_polys: list<list<float>>). One pass per threshold — each is a cheap
+    partial-count aggregation; thresholds are the reference's 0.3..0.9.
+    """
+    import numpy as np
+
+    from ..functions.geometry import filter_boundaries_by_score
+
+    if score_thrs is None:
+        score_thrs = [round(t, 1) for t in np.arange(0.3, 0.95, 0.1)]
+
+    def counts_at(thr):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {"match": [], "gt": [], "pred": []}
+            for preds, gts in zip(
+                batch["pred_boundaries"].to_pylist(), batch["gt_polys"].to_pylist()
+            ):
+                kept = [b[:-1] for b in filter_boundaries_by_score(preds, thr)]
+                c = hmean_iou_row_counts(kept, gts, iou_thr)
+                for k in cols:
+                    cols[k].append(c[k])
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    from ray.data.aggregate import Sum
+
+    best = {"hmean": -1.0}
+    for thr in score_thrs:
+        agg = ds.map_batches(counts_at(thr), batch_format="pyarrow").aggregate(
+            Sum("match"), Sum("gt"), Sum("pred")
+        )
+        m = hmean_finalize(
+            {
+                "match": agg["sum(match)"] or 0,
+                "gt": agg["sum(gt)"] or 0,
+                "pred": agg["sum(pred)"] or 0,
+            }
+        )
+        if m["hmean"] > best["hmean"]:
+            best = {**m, "score_thr": thr}
+    return best

@@ -96,3 +96,21 @@ def test_char_frequency_actor(ray_session):
     assert totals["a"] == 3 and totals["c"] == 1
     w = ray_session.get(actor.rarity_weights.remote())
     assert w["c"] > w["a"]  # rarer char gets higher weight
+
+
+def test_hmean_sweep_picks_best_threshold(ray_session):
+    import ray.data
+
+    from my_ocr_ray.pipelines.evaluate import hmean_eval_sweep
+
+    box = rect_to_quad(0, 0, 10, 10)
+    noise = rect_to_quad(40, 40, 41, 41)
+    ds = ray.data.from_items(
+        [
+            # good box scores 0.9; noise box scores 0.4 — at thr<=0.4 the
+            # noise hurts precision, at 0.5+ it is filtered out
+            {"pred_boundaries": [box + [0.9], noise + [0.4]], "gt_polys": [box]},
+        ]
+    )
+    best = hmean_eval_sweep(ds, score_thrs=[0.3, 0.5, 0.7])
+    assert best["hmean"] == 1.0 and best["score_thr"] == 0.5
