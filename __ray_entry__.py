@@ -172,7 +172,8 @@ def oracle_sql() -> dict[str, str]:
             sum(brk) OVER (PARTITION BY user_id ORDER BY s
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
           FROM marked)
-        SELECT user_id, session_idx, min(s) AS session_start,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               min(s) AS session_start,
                max(s) AS session_end, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM sess GROUP BY user_id, session_idx

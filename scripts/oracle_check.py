@@ -84,6 +84,10 @@ def main() -> int:
         problems = []
         if list(mine.columns) != list(want.columns):
             problems.append(f"cols {list(mine.columns)} != {list(want.columns)}")
+        elif list(mine.dtypes.astype(str)) != list(want.dtypes.astype(str)):
+            problems.append(
+                f"dtypes {dict(mine.dtypes.astype(str))} != {dict(want.dtypes.astype(str))}"
+            )
         elif len(mine) != len(want):
             problems.append(f"rows {len(mine)} != {len(want)}")
         elif value_hash(mine) != value_hash(want):
