@@ -133,3 +133,24 @@ def merge_aug_results(results: list[tuple[str, float]]) -> tuple[str, float]:
         return "", 0.0
     best = max(enumerate(results), key=lambda kv: (kv[1][1], -kv[0]))
     return best[1]
+
+
+def attention_greedy_decode(
+    logits: np.ndarray, eos: int, pad: int | None = None
+) -> tuple[list[int], list[float]]:
+    """Attention-decoder greedy decode (``mmocr/models/textrecog/convertors/
+    attn.py:110-140`` semantics): per-step argmax until EOS (exclusive),
+    PAD steps dropped; per-char score is the step's max probability."""
+    idx = logits.argmax(axis=1)
+    val = logits.max(axis=1)
+    out: list[int] = []
+    scores: list[float] = []
+    for t in range(logits.shape[0]):
+        k = int(idx[t])
+        if k == eos:
+            break
+        if pad is not None and k == pad:
+            continue
+        out.append(k)
+        scores.append(float(val[t]))
+    return out, scores

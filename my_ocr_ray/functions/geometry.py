@@ -369,3 +369,28 @@ def fourier2poly(coeffs: np.ndarray, n_points: int = 50) -> np.ndarray:
     freqs = np.arange(-k, k + 1)
     pts = (c[None, :] * np.exp(2j * np.pi * freqs[None, :] * t[:, None])).sum(axis=1)
     return np.stack([pts.real, pts.imag], axis=1)
+
+
+def merge_disks(disks, disk_overlap_thr: float = 0.8) -> list[list[float]]:
+    """TextSnake disk merging (``wrapper.py:275-303`` semantics): sort disks
+    ``[x, y, r, score]`` by score descending (index tie-break), greedily keep
+    a disk and absorb others whose center distance is below
+    ``thr * (r_i + r_j)``."""
+    order = sorted(
+        range(len(disks)), key=lambda i: (-disks[i][3], i)
+    )
+    kept: list[list[float]] = []
+    used = [False] * len(disks)
+    for i in order:
+        if used[i]:
+            continue
+        used[i] = True
+        xi, yi, ri, si = disks[i]
+        for j in order:
+            if used[j]:
+                continue
+            xj, yj, rj, _ = disks[j]
+            if ((xi - xj) ** 2 + (yi - yj) ** 2) ** 0.5 < disk_overlap_thr * (ri + rj):
+                used[j] = True
+        kept.append(list(disks[i]))
+    return kept

@@ -88,3 +88,26 @@ def test_merge_aug_results():
         0.9,
     )
     assert merge_aug_results([]) == ("", 0.0)
+
+
+def test_merge_disks_absorbs_overlapping():
+    from my_ocr_ray.functions.geometry import merge_disks
+
+    disks = [
+        [0, 0, 5, 0.9],
+        [1, 0, 5, 0.5],    # overlaps the first -> absorbed
+        [100, 0, 5, 0.7],  # far away -> kept
+    ]
+    kept = merge_disks(disks)
+    assert kept == [[0, 0, 5, 0.9], [100, 0, 5, 0.7]]
+
+
+def test_attention_greedy_decode():
+    from my_ocr_ray.functions.ctc import attention_greedy_decode
+
+    EOS, PAD = 37, 38
+    seq = [5, PAD, 7, EOS, 9]
+    logits = _logits(seq, n_classes=39)
+    idx, scores = attention_greedy_decode(logits, eos=EOS, pad=PAD)
+    assert idx == [5, 7]
+    assert len(scores) == 2 and all(abs(s - 0.9) < 1e-6 for s in scores)
