@@ -54,7 +54,9 @@ def load_media_lookup(media_path: str):
         )
     else:
         tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
-    return ray.put(tbl.combine_chunks())
+    from ..stages.ocrstage import _MediaTableLookup
+
+    return ray.put(_MediaTableLookup.precompute(tbl.combine_chunks()))
 
 
 def extract(

@@ -34,19 +34,59 @@ from ..functions.ocr import (
 
 
 class _MediaTableLookup:
-    """media_ref -> bytes over a broadcast Arrow table (zero-copy payloads)."""
+    """media_ref -> bytes over a broadcast Arrow table (zero-copy payloads).
 
-    def __init__(self, tbl: pa.Table):
-        refs = tbl["media_ref"].to_pylist()
-        self._index = {r: i for i, r in enumerate(refs)}
+    The index is a sorted numpy unicode array + argsort permutation, NOT a
+    Python dict: at millions of refs a per-actor dict is hundreds of MB of
+    GC-tracked objects and cyclic-GC scans of it in the hot loop dominate
+    CPU (observed: 2x per-doc cost at 2.8M refs). A U-dtype array is one
+    untracked buffer; lookups are one vectorized searchsorted per batch.
+    """
+
+    def __init__(self, tbl: pa.Table, sorted_refs=None, rows=None):
+        if sorted_refs is None:
+            # small-table path: build the index locally
+            refs = np.asarray(tbl["media_ref"].to_pylist())
+            rows = np.argsort(refs, kind="stable")
+            sorted_refs = refs[rows]
+        self._sorted = sorted_refs
+        self._row = rows
         self._bytes = tbl["bytes"].combine_chunks()
 
+    @classmethod
+    def precompute(cls, tbl: pa.Table) -> dict:
+        """Driver-side index build: returns the broadcast payload. The numpy
+        U-array + int array resolve zero-copy from plasma, so actor init is
+        O(1) instead of an O(n log n) per-actor rebuild (at 2.8M refs the
+        per-actor rebuild dominated pool ramp-up)."""
+        refs = np.asarray(tbl["media_ref"].to_pylist())
+        rows = np.argsort(refs, kind="stable")
+        return {"table": tbl, "sorted_refs": refs[rows], "rows": rows}
+
+    def lookup_many(self, queries) -> list:
+        """Batch lookup; None where a ref is absent."""
+        q = np.asarray(queries)
+        if q.size == 0:
+            return []
+        pos = np.searchsorted(self._sorted, q)
+        out = []
+        n = len(self._sorted)
+        for i in range(len(q)):
+            p = pos[i]
+            if p < n and self._sorted[p] == q[i]:
+                out.append(self._bytes[int(self._row[p])].as_py())
+            else:
+                out.append(None)
+        return out
+
     def __getitem__(self, ref: str) -> bytes:
-        return self._bytes[self._index[ref]].as_py()
+        res = self.lookup_many([ref])[0]
+        if res is None:
+            raise KeyError(ref)
+        return res
 
     def get(self, ref: str):
-        i = self._index.get(ref)
-        return None if i is None else self._bytes[i].as_py()
+        return self.lookup_many([ref])[0]
 
 
 class OCRStage:
@@ -66,7 +106,11 @@ class OCRStage:
             # ref -> row-index dict is built per actor. Plain dicts are also
             # accepted for tests/small corpora.
             obj = ray.get(media_lookup_ref)
-            if isinstance(obj, pa.Table):
+            if isinstance(obj, dict) and "sorted_refs" in obj:
+                self.media = _MediaTableLookup(
+                    obj["table"], obj["sorted_refs"], obj["rows"]
+                )
+            elif isinstance(obj, pa.Table):
                 self.media = _MediaTableLookup(obj)
             else:
                 self.media = obj
@@ -80,6 +124,11 @@ class OCRStage:
         # dropped (the doc still reassembles without it) and counted.
         self.on_error = on_error
         self.errors = 0
+        # long-lived actor state should not be rescanned by cyclic GC on
+        # every hot-loop collection
+        import gc
+
+        gc.freeze()
 
     def _image_bytes(self, batch: pa.Table, media_indices: np.ndarray):
         """-> list of bytes-or-None (None = lookup/join miss)."""
@@ -87,10 +136,19 @@ class OCRStage:
             col = batch["bytes"]
             return [col[int(i)].as_py() for i in media_indices]
         assert self.media is not None, "no bytes column and no media lookup"
-        refs = batch["media_ref"]
-        if self.on_error == "skip":
-            return [self.media.get(refs[int(i)].as_py()) for i in media_indices]
-        return [self.media[refs[int(i)].as_py()] for i in media_indices]
+        refs = batch["media_ref"].combine_chunks()
+        queries = [refs[int(i)].as_py() for i in media_indices]
+        if isinstance(self.media, _MediaTableLookup):
+            found = self.media.lookup_many(queries)
+        elif self.on_error == "skip":
+            found = [self.media.get(r) for r in queries]
+        else:
+            found = [self.media[r] for r in queries]
+        if self.on_error != "skip":
+            for r, f in zip(queries, found):
+                if f is None:
+                    raise KeyError(r)
+        return found
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kind = batch["kind"]
