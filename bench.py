@@ -46,16 +46,9 @@ def corpus_dir(n_docs: int) -> str:
 
 def ensure_corpus(n_docs: int) -> str:
     """Generate the synthetic interleaved corpus once (not timed)."""
-    out = corpus_dir(n_docs)
-    marker = os.path.join(out, "DONE")
-    if os.path.exists(marker):
-        return out
-    from my_ocr_ray.synth import write_corpus
+    from my_ocr_ray.synth import ensure_corpus as _ensure
 
-    write_corpus(out, n_docs, seed=SEED)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    return _ensure(n_docs, seed=SEED, base_dir=BENCH_TMP)
 
 
 def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:

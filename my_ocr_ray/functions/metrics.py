@@ -124,6 +124,152 @@ def hmean_finalize(sums: dict) -> dict:
     }
 
 
+def _centroid(poly: np.ndarray) -> np.ndarray:
+    return poly.reshape(-1, 2).mean(axis=0)
+
+
+def _box_diag(poly: np.ndarray) -> float:
+    p = poly.reshape(-1, 2)
+    return float(np.linalg.norm(p[0] - p[2]))
+
+
+def hmean_ic13_row_counts(
+    pred_polys: list[list[float]],
+    gt_polys: list[list[float]],
+    gt_ignored_polys: list[list[float]] | None = None,
+    precision_thr: float = 0.4,
+    recall_thr: float = 0.8,
+    center_dist_thr: float = 1.0,
+    one2one_score: float = 1.0,
+    one2many_score: float = 0.8,
+    many2one_score: float = 1.0,
+) -> dict:
+    """Per-image ICDAR2013 matching counts (``mmocr/core/evaluation/
+    hmean_ic13.py:46-216`` + ``utils.py:211-349`` semantics): area-recall /
+    area-precision matrices, then one2one (with normalized center-distance
+    gate), one2many (score 0.8) and many2one matching passes, in that order,
+    each consuming unmatched boxes. Predictions overlapping an ignored gt
+    with precision > thr are ignored (``utils.py:7-54``)."""
+    from .geometry import poly_intersection_area, polygon_area
+
+    gt_ignored_polys = gt_ignored_polys or []
+    care_gt_num = len(gt_polys)
+    all_gt = [np.asarray(g, dtype=np.float64) for g in gt_polys] + [
+        np.asarray(g, dtype=np.float64) for g in gt_ignored_polys
+    ]
+    gt_ignored_idx = set(range(care_gt_num, len(all_gt)))
+    preds = [np.asarray(p, dtype=np.float64) for p in pred_polys]
+
+    # ignore predictions that hit any ignored gt
+    pred_ignored_idx: set[int] = set()
+    for pi, p in enumerate(preds):
+        area = polygon_area(p.reshape(-1, 2))
+        for gi in gt_ignored_idx:
+            inter = poly_intersection_area(p, all_gt[gi])
+            prec = 0.0 if area == 0 else inter / area
+            if prec > precision_thr:
+                pred_ignored_idx.add(pi)
+                break
+
+    gt_num, pred_num = len(all_gt), len(preds)
+    accum_recall = accum_precision = 0.0
+    if gt_num and pred_num:
+        recall_mat = np.zeros((gt_num, pred_num))
+        precision_mat = np.zeros((gt_num, pred_num))
+        for gi, g in enumerate(all_gt):
+            g_area = polygon_area(g.reshape(-1, 2))
+            for pi, p in enumerate(preds):
+                inter = poly_intersection_area(g, p)
+                p_area = polygon_area(p.reshape(-1, 2))
+                if g_area:
+                    recall_mat[gi, pi] = inter / g_area
+                if p_area:
+                    precision_mat[gi, pi] = inter / p_area
+
+        gt_hit = np.zeros(gt_num, dtype=bool)
+        pred_hit = np.zeros(pred_num, dtype=bool)
+        above = (recall_mat > recall_thr) & (precision_mat > precision_thr)
+        # pass 1: one-to-one (exactly one qualifying pair in row AND column)
+        for gi in range(gt_num):
+            for pi in range(pred_num):
+                if (
+                    gt_hit[gi] or pred_hit[pi]
+                    or gi in gt_ignored_idx or pi in pred_ignored_idx
+                ):
+                    continue
+                if (
+                    above[gi].sum() == 1
+                    and above[:, pi].sum() == 1
+                    and above[gi, pi]
+                ):
+                    d = np.linalg.norm(_centroid(all_gt[gi]) - _centroid(preds[pi]))
+                    denom = _box_diag(all_gt[gi]) + _box_diag(preds[pi])
+                    if denom and 2.0 * d / denom < center_dist_thr:
+                        gt_hit[gi] = pred_hit[pi] = True
+                        accum_recall += one2one_score
+                        accum_precision += one2one_score
+        # pass 2: one gt to many preds (precision >= thr each, recalls sum)
+        for gi in range(gt_num):
+            if gi in gt_ignored_idx or gt_hit[gi]:
+                continue
+            cand = [
+                pi
+                for pi in range(pred_num)
+                if not pred_hit[pi]
+                and pi not in pred_ignored_idx
+                and precision_mat[gi, pi] >= precision_thr
+            ]
+            if cand and recall_mat[gi, cand].sum() >= recall_thr:
+                gt_hit[gi] = True
+                pred_hit[cand] = True
+                accum_recall += one2many_score
+                accum_precision += one2many_score * len(cand)
+        # pass 3: many gts to one pred (recall >= thr each, precisions sum)
+        for pi in range(pred_num):
+            if pi in pred_ignored_idx or pred_hit[pi]:
+                continue
+            cand = [
+                gi
+                for gi in range(gt_num)
+                if not gt_hit[gi]
+                and gi not in gt_ignored_idx
+                and recall_mat[gi, pi] >= recall_thr
+            ]
+            if cand and precision_mat[cand, pi].sum() >= precision_thr:
+                pred_hit[pi] = True
+                gt_hit[cand] = True
+                accum_recall += many2one_score * len(cand)
+                accum_precision += many2one_score
+    return {
+        "hit_recall": accum_recall,
+        "hit_precision": accum_precision,
+        "gt_care": care_gt_num,
+        "pred_care": pred_num - len(pred_ignored_idx),
+    }
+
+
+def hmean_ic13_finalize(sums: dict) -> dict:
+    """Dataset-level IC13 recall/precision/hmean from summed per-image counts
+    (``utils.py:56-95`` compute_hmean semantics, incl. the gt_num==0 edge)."""
+    gt_num = int(sums["gt_care"])
+    pred_num = int(sums["pred_care"])
+    if gt_num == 0:
+        recall = 1.0
+        precision = 0.0 if pred_num > 0 else 1.0
+    else:
+        recall = float(sums["hit_recall"]) / gt_num
+        precision = (
+            0.0 if pred_num == 0 else float(sums["hit_precision"]) / pred_num
+        )
+    denom = recall + precision
+    hmean = 0.0 if denom == 0 else 2.0 * precision * recall / denom
+    return {
+        "recall": round(recall, 4),
+        "precision": round(precision, 4),
+        "hmean": round(hmean, 4),
+    }
+
+
 def confusion_counts(preds, gts, n_classes: int) -> np.ndarray:
     """Per-row-partial confusion matrix via bincount
     (``compute_f1_score``, ``mmocr/core/evaluation/kie_metric.py:5-29``)."""

@@ -12,6 +12,8 @@ import pyarrow as pa
 
 from ..functions.metrics import (
     hmean_finalize,
+    hmean_ic13_finalize,
+    hmean_ic13_row_counts,
     hmean_iou_row_counts,
     ocr_finalize,
     ocr_row_counts,
@@ -70,6 +72,38 @@ def hmean_eval(ds, iou_thr: float = 0.5) -> dict:
             "pred": agg["sum(pred)"] or 0,
         }
     )
+
+
+def hmean_ic13_eval(ds) -> dict:
+    """Dataset with per-image (pred_polys, gt_polys[, gt_ignored_polys])
+    list<list<float>> columns -> ICDAR2013 recall/precision/hmean
+    (``mmocr/core/evaluation/hmean_ic13.py:46-216``) as a per-row partial
+    count aggregation — matching is per-image-local, so the dataset pass is
+    embarrassingly parallel and only 4 numbers per row cross the wire."""
+    from ray.data.aggregate import Sum
+
+    keys = ("hit_recall", "hit_precision", "gt_care", "pred_care")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        has_ign = "gt_ignored_polys" in batch.column_names
+        cols = {k: [] for k in keys}
+        ignored = (
+            batch["gt_ignored_polys"].to_pylist()
+            if has_ign
+            else [None] * batch.num_rows
+        )
+        for preds, gts, ign in zip(
+            batch["pred_polys"].to_pylist(), batch["gt_polys"].to_pylist(), ignored
+        ):
+            c = hmean_ic13_row_counts(preds, gts, ign)
+            for k in keys:
+                cols[k].append(c[k])
+        return pa.Table.from_pydict(cols)
+
+    agg = ds.map_batches(counts, batch_format="pyarrow").aggregate(
+        *[Sum(k) for k in keys]
+    )
+    return hmean_ic13_finalize({k: agg[f"sum({k})"] or 0 for k in keys})
 
 
 def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:

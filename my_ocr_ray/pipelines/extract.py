@@ -59,6 +59,25 @@ def load_media_lookup(media_path: str):
     return ray.put(_MediaTableLookup.precompute(tbl.combine_chunks()))
 
 
+# target span rows per shuffle partition: keeps each partition's rebuild
+# block ~20MB / sub-second and scales partition count LINEARLY with data
+# volume (a fixed per-CPU count stops scaling once partitions hold millions
+# of rows — measured as the round-1 efficiency cliff, DESIGN.md §5b)
+SPAN_ROWS_PER_PARTITION = 250_000
+# average spans per interleaved doc (measured 7.6 on the synthetic corpus);
+# used only to size the shuffle, not for correctness
+EST_SPANS_PER_DOC = 8
+
+
+def _approx_input_rows(ds) -> Optional[int]:
+    """Row count from metadata only (parquet stats / in-memory tables) —
+    never triggers execution; None when the input has no cheap count."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def extract(
     docs_ds,
     media_lookup_ref=None,
@@ -71,33 +90,43 @@ def extract(
     join_num_partitions: Optional[int] = None,
     shuffle: str = "hash",
     shuffle_partitions: Optional[int] = None,
+    approx_docs: Optional[int] = None,
     on_error: str = "raise",
 ):
     """Run the full extraction pipeline; returns a documents-schema Dataset.
 
     Resource auto-sizing: the OCR actor pool, the hash-shuffle aggregators
-    (0.25 CPU per partition) and the join aggregators must all fit on the
-    cluster simultaneously or the streaming executor stalls — when
-    ``ocr_concurrency`` is None it is sized to what's left after reserving
-    for shuffles and IO tasks.
+    and the join aggregators must all fit on the cluster simultaneously or
+    the streaming executor stalls — when ``ocr_concurrency`` is None it is
+    sized to what's left after reserving for shuffles and IO tasks.
+
+    Shuffle sizing: the partition count scales with the INPUT SIZE (estimated
+    span rows / ``SPAN_ROWS_PER_PARTITION``), floored at one per two CPUs and
+    capped at 4x CPUs; the aggregator CPU claim stays a fixed budget
+    (~cpus/8) regardless of partition count by shrinking the per-partition
+    claim, so growing data never shrinks the OCR pool.
     """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    aggregator_cpu_budget = max(1.0, cpus / 8)
     if shuffle_partitions is None:
-        # span rows are tiny; 16 partitions is plenty per 32 CPUs and keeps
-        # the aggregator-actor CPU claim (0.25/partition) small so the OCR
-        # pool can take the rest (measured: 26 actors + 16 parts beats
-        # 22 + 32 by ~25% at 32 CPUs)
-        shuffle_partitions = max(2, min(16, cpus // 2))
+        n_docs = approx_docs if approx_docs is not None else _approx_input_rows(docs_ds)
+        floor = max(2, cpus // 2)
+        cap = max(floor, min(512, 4 * cpus))
+        if n_docs is None:
+            shuffle_partitions = min(16, floor)
+        else:
+            by_data = -(-n_docs * EST_SPANS_PER_DOC // SPAN_ROWS_PER_PARTITION)
+            shuffle_partitions = int(max(floor, min(cap, by_data)))
     if join_num_partitions is None:
         join_num_partitions = shuffle_partitions
     if ocr_concurrency is None:
-        reserve = 2 + 0.25 * shuffle_partitions
+        reserve = 2 + aggregator_cpu_budget
         if two_phase_salt:
-            reserve += 0.25 * shuffle_partitions  # second hash exchange
+            reserve += aggregator_cpu_budget  # second hash exchange
         if media_ds is not None:
-            reserve += 0.25 * join_num_partitions
+            reserve += aggregator_cpu_budget
         ocr_concurrency = max(1, int(cpus - reserve))
     spans = docs_ds.map_batches(
         explode_spans,
@@ -131,8 +160,15 @@ def extract(
 
     if two_phase_salt:
         return reassemble_two_phase(
-            processed, n_salt=two_phase_salt, num_partitions=shuffle_partitions
+            processed,
+            n_salt=two_phase_salt,
+            num_partitions=shuffle_partitions,
+            aggregator_cpu_budget=aggregator_cpu_budget,
         )
     if shuffle == "hash":
-        return reassemble_hash(processed, num_partitions=shuffle_partitions)
+        return reassemble_hash(
+            processed,
+            num_partitions=shuffle_partitions,
+            aggregator_cpu_budget=aggregator_cpu_budget,
+        )
     return reassemble(processed)

@@ -311,12 +311,16 @@ def q_embedding_centroids(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n_queries: int = 4):
+    """Predicate-pushdown read of the query vectors: only row groups whose
+    vec_id statistics overlap [0, n_queries) leave storage — never the whole
+    embeddings table on the driver."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
-    t = t.filter(pc.less(t["vec_id"], n_queries))
     return {
         "qids": np.asarray(t["vec_id"].to_pylist(), dtype=np.int64),
         "vectors": np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]),
@@ -335,17 +339,16 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
-
     import ray
 
     from ..ann import ivf_topk
 
     qref = ray.put(_query_vectors(sf_dir))
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cents = np.stack(
-        [np.asarray(v) for v in emb["embedding"].to_pylist()[:16]]
-    )
+    # seed centroids = the first 16 vectors; pushdown read, not a full-table
+    # driver materialization (a production IVF would train them with a
+    # distributed k-means pass)
+    seed = _query_vectors(sf_dir, n_queries=16)
+    cents = seed["vectors"][np.argsort(seed["qids"])]
     return ivf_topk(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         qref,
@@ -362,24 +365,26 @@ def q_ann_ivf(sf_dir: str):
 
 def q_flagship_extract(sf_dir: str, n_docs: int | None = None):
     """Full extraction pipeline over the deterministic synthetic interleaved
-    corpus (size tied to the sf documents table). Output flattened to scalar
-    columns for the driver's rows-only check."""
+    corpus (size tied to the sf documents table), streamed from a cached
+    parquet corpus: generation is a Ray-parallel write-once job
+    (``synth.write_corpus``) and media bytes broadcast via the precomputed
+    Arrow-table index — never a driver-side corpus build or dict broadcast.
+    Output flattened to scalar columns for the driver's rows-only check."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    import ray
     import ray.data
 
-    from ..synth import corpus_tables
-    from .extract import extract
+    from ..synth import ensure_corpus
+    from .extract import extract, load_media_lookup
 
     if n_docs is None:
         n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    docs, media, _expected = corpus_tables(n_docs, seed=13)
-    lookup = ray.put(
-        dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
-    )
+    corpus = ensure_corpus(n_docs, seed=13)
+    lookup = load_media_lookup(sorted(glob.glob(f"{corpus}/media/*.parquet")))
     out = extract(
-        ray.data.from_arrow(docs).repartition(8),
+        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
         media_lookup_ref=lookup,  # concurrency auto-sized to the session
     )
 
@@ -395,23 +400,29 @@ def q_ocr_eval(sf_dir: str):
     """End-to-end extraction accuracy vs the golden corpus as a 1-row table
     (rows-only check: OCR semantics have no SQL expression). The expected
     values are exactly 1.0 — the engine's reference-parity proof."""
+    import glob
+
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    import ray
     import ray.data
 
-    from ..synth import corpus_tables
+    from ..synth import ensure_corpus
     from .evaluate import extraction_accuracy
-    from .extract import extract
+    from .extract import extract, load_media_lookup
 
     n_docs = min(
         500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     )
-    docs, media, expected = corpus_tables(n_docs, seed=17)
-    lookup = ray.put(
-        dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
+    corpus = ensure_corpus(n_docs, seed=17)
+    lookup = load_media_lookup(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    out = extract(
+        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
+        media_lookup_ref=lookup,
     )
-    out = extract(ray.data.from_arrow(docs).repartition(8), media_lookup_ref=lookup)
+    expected = pads.dataset(
+        sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
+    ).to_table()
     acc = extraction_accuracy(out, expected)
     return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
 
@@ -437,43 +448,77 @@ def q_sessionize(sf_dir: str):
 
 
 def q_orders_join(sf_dir: str):
-    """Two-stage hash join (orders x customer x nation) + grouped rollup —
-    the relational-join coverage the reference lacks (its only 'join' is the
-    det->recog fan-out, SURVEY.md §2.4)."""
+    """Broadcast map-side join (orders x customer x nation) + partial-agg
+    rollup — the relational-join coverage the reference lacks (its only
+    'join' is the det->recog fan-out, SURVEY.md §2.4).
+
+    Scale shape: the build sides (customer keys + nation names) are tiny
+    relative to orders, so they are ``ray.put`` ONCE as sorted numpy arrays
+    and resolved zero-copy inside every map task — no all-to-all exchange.
+    Each block partial-aggregates per nationkey (25 groups), so the only
+    shuffle is one partial row per (block, nation).  When the build side
+    does NOT fit in memory, use ``Dataset.join`` instead (that shuffle-join
+    path is exercised by :func:`q_jaccard_adjacent`).
+    """
+    import pyarrow.parquet as pq
+
     import ray
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    parts = max(2, min(16, cpus // 2))
-
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-
-    oc = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=parts,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    cust_t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    ocn = oc.join(
-        nation,
-        join_type="inner",
-        num_partitions=parts,
-        on=("c_nationkey",),
-        right_on=("n_nationkey",),
+    ckeys = cust_t["c_custkey"].to_numpy()
+    order_ck = np.argsort(ckeys, kind="stable")
+    nation_t = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    agg = ocn.groupby("n_name").aggregate(Count(), Sum("o_totalprice"))
+    lookup_ref = ray.put(
+        {
+            "cust_sorted": ckeys[order_ck],
+            "cust_nation": cust_t["c_nationkey"].to_numpy()[order_ck],
+            "nation_key": nation_t["n_nationkey"].to_numpy(),
+            "nation_name": np.asarray(nation_t["n_name"].to_pylist()),
+        }
+    )
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table, lookup=lookup_ref) -> pa.Table:
+        lk = ray.get(lookup)  # zero-copy numpy views out of plasma
+        ck = batch["o_custkey"].to_numpy()
+        price = batch["o_totalprice"].to_numpy()
+        pos = np.searchsorted(lk["cust_sorted"], ck)
+        pos = np.clip(pos, 0, len(lk["cust_sorted"]) - 1)
+        hit = lk["cust_sorted"][pos] == ck  # inner-join: drop misses
+        nk = lk["cust_nation"][pos[hit]]
+        nkeys, inv = np.unique(nk, return_inverse=True)
+        cnt = np.bincount(inv)
+        rev = np.bincount(inv, weights=price[hit])
         return pa.Table.from_pydict(
             {
-                "n_name": batch["n_name"],
-                "n_orders": pc.cast(batch["count()"], pa.int64()),
+                "nationkey": pa.array(nkeys),
+                "cnt": pa.array(cnt, pa.int64()),
+                "rev": pa.array(rev, pa.float64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("cnt"), Sum("rev"))
+    )
+
+    def rename(batch: pa.Table, lookup=lookup_ref) -> pa.Table:
+        lk = ray.get(lookup)
+        nk = batch["nationkey"].to_numpy()
+        pos = np.searchsorted(lk["nation_key"], nk)
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(lk["nation_name"][pos]),
+                "n_orders": pc.cast(batch["sum(cnt)"], pa.int64()),
                 "revenue": pc.round(
-                    batch["sum(o_totalprice)"], ndigits=2,
+                    batch["sum(rev)"], ndigits=2,
                     round_mode="half_towards_infinity",
                 ),
             }

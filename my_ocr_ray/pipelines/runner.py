@@ -55,6 +55,50 @@ def _span_metrics(tbl: pa.Table) -> dict:
     }
 
 
+def _metrics_batch(batch: pa.Table) -> pa.Table:
+    m = _span_metrics(batch)
+    return pa.Table.from_pydict({k: [v] for k, v in m.items()})
+
+
+def _distributed_span_metrics(files: list[str]) -> dict:
+    """Per-kind span counts of a partition's output as a distributed
+    aggregate (per-block partials -> tiny sum), never concatenating the
+    partition on the driver — a partition at target scale is huge."""
+    import ray.data
+
+    partials = ray.data.read_parquet(files, columns=["spans"]).map_batches(
+        _metrics_batch, batch_format="pyarrow"
+    )
+    cols = ["docs", "spans", "text_spans", "media_spans"]
+    sums = partials.sum(cols)
+    if sums is None:  # empty partition
+        return {c: 0 for c in cols}
+    return {c: int(sums[f"sum({c})"]) for c in cols}
+
+
+def _check_run_config(out_dir: str, num_partitions: int) -> None:
+    """Record the run's partition count; resuming with a different count
+    would re-partition the input differently and double/skip documents."""
+    import json
+
+    path = os.path.join(out_dir, "RUN.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("num_partitions") != num_partitions:
+            raise ValueError(
+                f"resume with num_partitions={num_partitions} but the run was "
+                f"started with {prev.get('num_partitions')} — partition "
+                "assignment would not line up; use the original value"
+            )
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_partitions": num_partitions}, f)
+    os.replace(tmp, path)
+
+
 def run_extract_partitioned(
     docs_dir: str,
     media_path: str,
@@ -72,9 +116,12 @@ def run_extract_partitioned(
     ``max_partitions`` bounds how many partitions this invocation processes
     (used by the resume test to simulate a mid-job kill).
     """
+    import shutil
+
     import ray.data
 
     groups = _partition_files(docs_dir, num_partitions)
+    _check_run_config(out_dir, len(groups))
     lookup = load_media_lookup(media_path)
     done_before = set(completed_partitions(out_dir))
     processed = 0
@@ -85,6 +132,13 @@ def run_extract_partitioned(
         if max_partitions is not None and processed >= max_partitions:
             break
         t0 = time.time()
+        pdir = part_dir(out_dir, pid)
+        if os.path.isdir(pdir):
+            # incomplete partition from a killed run: write_parquet appends
+            # uuid-named files, so stale orphans would duplicate documents on
+            # resume — clear the directory before re-running (the manifest is
+            # absent, so nothing completed is lost)
+            shutil.rmtree(pdir)
         ds = ray.data.read_parquet(files)
         rows_in = ds.count()
         result = extract(
@@ -95,21 +149,16 @@ def run_extract_partitioned(
             ocr_batch_size=ocr_batch_size,
             two_phase_salt=two_phase_salt,
         )
-        pdir = part_dir(out_dir, pid)
         os.makedirs(pdir, exist_ok=True)
         result.write_parquet(pdir)
         out_files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
-        import ray as _ray
-
-        tables = _ray.get(ray.data.read_parquet(out_files).to_arrow_refs())
-        merged = pa.concat_tables(tables) if tables else pa.table({})
-        metrics = _span_metrics(merged) if merged.num_rows else {"docs": 0}
+        metrics = _distributed_span_metrics(out_files) if out_files else {"docs": 0}
         write_manifest(
             out_dir,
             pid,
             input_files=files,
             rows_in=rows_in,
-            rows_out=merged.num_rows,
+            rows_out=metrics.get("docs", 0),
             metrics=metrics,
             wall_sec=time.time() - t0,
         )

@@ -45,6 +45,10 @@ def _build_doc_rows(group: pa.Table) -> pa.Table:
     (doc_id, offset), duplicate (doc_id, offset) drop, then a ListArray built
     from group boundaries. No per-row Python.
     """
+    if group.num_rows == 0:
+        # hash repartition can emit empty partitions; also guards direct
+        # callers (boundaries=[0] below would index past an empty array)
+        return DOCUMENTS_SCHEMA.empty_table()
     doc = group["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     off = group["offset"].combine_chunks().to_numpy(zero_copy_only=False)
     order = np.lexsort((off, doc))
@@ -78,7 +82,26 @@ def reassemble(span_rows):
     )
 
 
-def reassemble_hash(span_rows, num_partitions: int | None = None):
+def _configure_hash_shuffle(ds, num_partitions: int, aggregator_cpu_budget: float):
+    """Set the hash-shuffle backend with a FIXED total aggregator CPU claim.
+
+    The aggregator pool claims (per-partition-cpus x num_partitions) total;
+    with a fixed per-partition claim, growing the partition count with data
+    volume would eat the whole cluster (or deadlock against the OCR actor
+    pool). Dividing a fixed budget by the partition count keeps the claim
+    constant, so partition count is free to scale with data size."""
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    per_part = min(0.25, max(0.02, aggregator_cpu_budget / num_partitions))
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+
+
+def reassemble_hash(
+    span_rows,
+    num_partitions: int | None = None,
+    aggregator_cpu_budget: float = 4.0,
+):
     """Explicit doc_id-hash repartition -> per-block vectorized rebuild.
 
     ``repartition(keys=['doc_id'])`` is a hash exchange that co-locates every
@@ -89,19 +112,13 @@ def reassemble_hash(span_rows, num_partitions: int | None = None):
     north-star shape: "explicitly repartitions by doc_id hash".
     """
     import ray
-    from ray.data.context import ShuffleStrategy
 
     if num_partitions is None:
         # one partition per CPU, capped — aggregator actors must fit next to
-        # the OCR actor pool (they claim 0.25 CPU per partition, below)
+        # the OCR actor pool (see _configure_hash_shuffle)
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         num_partitions = max(2, min(64, cpus))
-    # key-based repartition requires the hash-shuffle backend
-    span_rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    # shrink the per-partition CPU claim of shuffle-aggregator actors so they
-    # coexist with the OCR actor pool on small nodes (avoids scheduling
-    # deadlock: pool holds most CPUs, aggregators can never start)
-    span_rows.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    _configure_hash_shuffle(span_rows, num_partitions, aggregator_cpu_budget)
     parts = span_rows.repartition(num_blocks=num_partitions, keys=["doc_id"])
     return parts.map_batches(
         _build_doc_rows, batch_format="pyarrow", batch_size=None,
@@ -130,7 +147,10 @@ def _merge_partials(group: pa.Table) -> pa.Table:
 
 
 def reassemble_two_phase(
-    span_rows, n_salt: int = 8, num_partitions: int | None = None
+    span_rows,
+    n_salt: int = 8,
+    num_partitions: int | None = None,
+    aggregator_cpu_budget: float = 4.0,
 ):
     """Salted two-phase reassembly for skewed multi-span documents.
 
@@ -141,7 +161,6 @@ def reassemble_two_phase(
     per doc on doc_id and merges.
     """
     import ray
-    from ray.data.context import ShuffleStrategy
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -149,8 +168,7 @@ def reassemble_two_phase(
     salted = span_rows.map_batches(
         _partial_key, batch_format="pyarrow", fn_kwargs={"n_salt": n_salt}
     )
-    salted.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    salted.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    _configure_hash_shuffle(salted, num_partitions, aggregator_cpu_budget)
     partial = salted.repartition(
         num_blocks=num_partitions, keys=["doc_id", "salt"]
     ).map_batches(

@@ -222,3 +222,21 @@ def write_corpus(
     base.map_batches(gen_media, batch_format="pyarrow").write_parquet(
         f"{out_dir}/media"
     )
+
+
+def ensure_corpus(
+    n_docs: int, seed: int = 7, base_dir: str = "/tmp/myocr_bench"
+) -> str:
+    """Write-once cached parquet corpus (shared by bench.py and the
+    flagship ``queries()`` entries): generation is Ray-parallel via
+    :func:`write_corpus`, never materialized on the driver."""
+    import os
+
+    out = os.path.join(base_dir, f"corpus_{n_docs}_{seed}")
+    marker = os.path.join(out, "DONE")
+    if os.path.exists(marker):
+        return out
+    write_corpus(out, n_docs, seed=seed)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out

@@ -47,3 +47,76 @@ def test_hmean_iou_partial():
     pred = [rect_to_quad(0, 0, 1, 1)]
     m = hmean_finalize(hmean_iou_row_counts(pred, gt))
     assert m["recall"] == 0.5 and m["precision"] == 1.0
+
+
+def test_hmean_ic13_one2one():
+    """Reference golden (tests/test_metrics/test_hmean_ic13.py:86-95)."""
+    from my_ocr_ray.functions.metrics import (
+        hmean_ic13_finalize,
+        hmean_ic13_row_counts,
+    )
+
+    pred = [[0, 0, 1, 0, 1, 1, 0, 1], [10, 0, 11, 0, 11, 1, 10, 1]]
+    gt = [[0, 0, 1, 0, 1, 1, 0, 1]]
+    m = hmean_ic13_finalize(hmean_ic13_row_counts(pred, gt))
+    assert m["recall"] == 1.0 and m["precision"] == 0.5
+    assert abs(m["hmean"] - 2 * 0.5 / 1.5) < 1e-3
+
+
+def test_hmean_ic13_one2many():
+    """Reference golden (test_hmean_ic13.py:97-105): split detection earns
+    0.8 on both sides."""
+    from my_ocr_ray.functions.metrics import (
+        hmean_ic13_finalize,
+        hmean_ic13_row_counts,
+    )
+
+    gt = [[0, 0, 2, 0, 2, 1, 0, 1]]
+    pred = [[0, 0, 1, 0, 1, 1, 0, 1], [1, 0, 2, 0, 2, 1, 1, 1]]
+    c = hmean_ic13_row_counts(pred, gt)
+    m = hmean_ic13_finalize(c)
+    assert m["recall"] == 0.8 and m["precision"] == 0.8
+    assert abs(m["hmean"] - 2 * 0.64 / 1.6) < 1e-3
+
+
+def test_hmean_ic13_many2one():
+    """Reference golden (test_hmean_ic13.py:107-117, precision_thr=0.6)."""
+    from my_ocr_ray.functions.metrics import (
+        hmean_ic13_finalize,
+        hmean_ic13_row_counts,
+    )
+
+    pred = [[0, 0, 2, 0, 2, 1, 0, 1]]
+    gt = [[0, 0, 1, 0, 1, 1, 0, 1], [1, 0, 2, 0, 2, 1, 1, 1]]
+    c = hmean_ic13_row_counts(pred, gt, precision_thr=0.6)
+    m = hmean_ic13_finalize(c)
+    assert m == {"recall": 1.0, "precision": 1.0, "hmean": 1.0}
+
+
+def test_hmean_ic13_ignored_gt_suppresses_pred():
+    """A pred covering an ignored gt is excluded from the pred count
+    (utils.py ignore_pred semantics)."""
+    from my_ocr_ray.functions.metrics import (
+        hmean_ic13_finalize,
+        hmean_ic13_row_counts,
+    )
+
+    pred = [[0, 0, 1, 0, 1, 1, 0, 1], [5, 5, 6, 5, 6, 6, 5, 6]]
+    gt = [[0, 0, 1, 0, 1, 1, 0, 1]]
+    ignored = [[5, 5, 6, 5, 6, 6, 5, 6]]
+    c = hmean_ic13_row_counts(pred, gt, ignored)
+    assert c["pred_care"] == 1 and c["gt_care"] == 1
+    m = hmean_ic13_finalize(c)
+    assert m == {"recall": 1.0, "precision": 1.0, "hmean": 1.0}
+
+
+def test_hmean_ic13_empty_gt_edge():
+    from my_ocr_ray.functions.metrics import hmean_ic13_finalize
+
+    assert hmean_ic13_finalize(
+        {"hit_recall": 0, "hit_precision": 0, "gt_care": 0, "pred_care": 0}
+    ) == {"recall": 1.0, "precision": 1.0, "hmean": 1.0}
+    m = hmean_ic13_finalize(
+        {"hit_recall": 0, "hit_precision": 0, "gt_care": 0, "pred_care": 3}
+    )
+    assert m["recall"] == 1.0 and m["precision"] == 0.0 and m["hmean"] == 0.0
