@@ -33,21 +33,41 @@ spans AS (
 
 _FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
-_SIGS_CTE = r"""
+# MinHash v2 oracle built from the SAME constants as the vectorized kernel
+# (functions/textproc.py): token hash = 60-bit md5 prefix mod P, shingle =
+# polynomial fold base B, signature = affine (A[s]*h + C[s]) mod P minima.
+from my_ocr_ray.functions.textproc import (  # noqa: E402
+    MINHASH_A as _A,
+    MINHASH_C as _C,
+    MOD_P as _P,
+    SHINGLE_B as _B,
+)
+
+
+def _th(expr: str) -> str:
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {_P})"
+
+
+_SH3 = (
+    f"((({_th('toks[i]')} * {_B} + {_th('toks[i+1]')}) % {_P}) * {_B} "
+    f"+ {_th('toks[i+2]')}) % {_P}"
+)
+
+_SIGS_CTE = rf"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_transform(generate_series(1, len(toks)-2),
-                                  i -> array_to_string(toks[i:i+2], ' '))
-              ELSE [''] END AS shingles
+                                  i -> {_SH3})
+              ELSE [CAST(0 AS BIGINT)] END AS shs
   FROM t),
 sigs AS (
   SELECT doc_id,
-         list_min(list_transform(shingles, x -> md5('0:' || x))) AS sig0,
-         list_min(list_transform(shingles, x -> md5('1:' || x))) AS sig1,
-         list_min(list_transform(shingles, x -> md5('2:' || x))) AS sig2,
-         list_min(list_transform(shingles, x -> md5('3:' || x))) AS sig3
+         list_min(list_transform(shs, h -> ({_A[0]}*h + {_C[0]}) % {_P})) AS sig0,
+         list_min(list_transform(shs, h -> ({_A[1]}*h + {_C[1]}) % {_P})) AS sig1,
+         list_min(list_transform(shs, h -> ({_A[2]}*h + {_C[2]}) % {_P})) AS sig2,
+         list_min(list_transform(shs, h -> ({_A[3]}*h + {_C[3]}) % {_P})) AS sig3
   FROM sh)
 """
 
@@ -205,11 +225,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig": _SIGS_CTE
         + "SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs",
         "lsh_pairs": _SIGS_CTE
-        + """,
+        + f""",
         bands AS (
-          SELECT doc_id, md5('0|' || sig0 || '|' || sig1) AS band FROM sigs
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
           UNION ALL
-          SELECT doc_id, md5('1|' || sig2 || '|' || sig3) AS band FROM sigs)
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
         """,

@@ -67,7 +67,9 @@ def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:
 
     t0 = time.time()
     lookup = load_media_lookup(media_files)
-    ds = ray.data.read_parquet(docs_files)
+    # one read task per file (~2000 docs): finer map-task granularity keeps
+    # the OCR actor pool fed through ramp-up and shrinks the tail quantum
+    ds = ray.data.read_parquet(docs_files, override_num_blocks=len(docs_files))
     result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=1024)
     result.write_parquet(out_dir)
     wall = time.time() - t0

@@ -22,7 +22,11 @@ import pyarrow.compute as pc
 
 from .analysis import fingerprint_batch
 from .functions.num import round_away
-from .functions.textproc import lsh_band_keys, minhash_signature, simhash64
+from .functions.textproc import (
+    lsh_band_matrix,
+    minhash_sigs_matrix,
+    simhash64_batch,
+)
 
 
 def exact_dedup(docs_ds):
@@ -45,13 +49,15 @@ def exact_dedup(docs_ds):
 def minhash_signature_batch(
     batch: pa.Table, num_hashes: int = 8, k: int = 3
 ) -> pa.Table:
-    sigs = [
-        minhash_signature(t, num_hashes=num_hashes, k=k)
-        for t in batch["text"].to_pylist()
-    ]
+    """Vectorized (one md5 per distinct token, then pure numpy): int64
+    signature columns sig0..sigN-1; parity with the scalar reference impl
+    is pinned by test_textproc."""
+    sigs = minhash_sigs_matrix(
+        batch["text"].to_pylist(), num_hashes=num_hashes, k=k
+    )
     cols = {"doc_id": batch["doc_id"]}
     for s in range(num_hashes):
-        cols[f"sig{s}"] = pa.array([row[s] for row in sigs], pa.string())
+        cols[f"sig{s}"] = pa.array(sigs[:, s], pa.int64())
     return pa.Table.from_pydict(cols)
 
 
@@ -64,16 +70,17 @@ def minhash_signatures(docs_ds, num_hashes: int = 8, k: int = 3):
 
 
 def _band_rows(batch: pa.Table, num_hashes: int, band_size: int, k: int) -> pa.Table:
-    doc_ids, bands = [], []
-    texts = batch["text"].to_pylist()
-    ids = batch["doc_id"].to_pylist()
-    for d, t in zip(ids, texts):
-        sig = minhash_signature(t, num_hashes=num_hashes, k=k)
-        for key in lsh_band_keys(sig, band_size=band_size):
-            doc_ids.append(d)
-            bands.append(key)
+    sigs = minhash_sigs_matrix(
+        batch["text"].to_pylist(), num_hashes=num_hashes, k=k
+    )
+    bands = lsh_band_matrix(sigs, band_size=band_size)  # n_docs x n_bands
+    n_bands = bands.shape[1]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     return pa.Table.from_pydict(
-        {"band": pa.array(bands, pa.string()), "doc_id": doc_ids}
+        {
+            "band": pa.array(bands.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands)),
+        }
     )
 
 
@@ -120,9 +127,12 @@ def lsh_candidate_pairs(
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [f"{simhash64(t):016x}" for t in batch["text"].to_pylist()]
+    hs = simhash64_batch(batch["text"].to_pylist())
     return pa.Table.from_pydict(
-        {"doc_id": batch["doc_id"], "simhash": pa.array(hs, pa.string())}
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
+        }
     )
 
 

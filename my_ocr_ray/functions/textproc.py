@@ -114,7 +114,36 @@ def quality_metrics(text: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # Shingling / MinHash / SimHash / Jaccard
+#
+# Hashing scheme (v2, vectorized AND SQL-checkable): one md5 per DISTINCT
+# token (the only non-vectorizable step, amortized over the batch via
+# np.unique), then pure int64 numpy arithmetic mod P = 2^31-1 for shingle
+# composition, the seeded minhash family and LSH band keys.  Every step has
+# an exact DuckDB formulation (md5 hex prefix -> BIGINT, literal constants)
+# — see ``__ray_entry__.oracle_sql``, which builds its SQL from THESE
+# constants.  Intermediate products stay < 2^62 (A < 2^29, h < 2^31,
+# B < 2^20), so plain int64 arithmetic never overflows.
 # ---------------------------------------------------------------------------
+
+MOD_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+SHINGLE_B = 1_000_003  # shingle/band polynomial base
+# seeded affine family (odd multipliers < 2^29, offsets < 2^28), fixed
+# deterministic literals shared with the SQL oracle builder
+MINHASH_A = tuple(
+    int(hashlib.md5(f"mh-a:{s}".encode()).hexdigest()[:7], 16) * 2 + 1
+    for s in range(16)
+)
+MINHASH_C = tuple(
+    int(hashlib.md5(f"mh-c:{s}".encode()).hexdigest()[:7], 16) for s in range(16)
+)
+
+
+def token_hash(token: str) -> int:
+    """First 60 bits of md5, mod P.  SQL:
+    ``CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647``."""
+    return (
+        int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big") >> 4
+    ) % MOD_P
 
 
 def shingles(text: str, k: int = 3) -> list[str]:
@@ -123,30 +152,123 @@ def shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-def minhash_signature(text: str, num_hashes: int = 8, k: int = 3) -> list[str]:
-    """MinHash signature as hex-string minima: sig[s] = min over shingles of
-    md5(f"{s}:{shingle}"). String-lexicographic min == DuckDB list_min, making
-    the signature SQL-checkable. Empty-shingle docs get the md5 of f"{s}:"."""
-    shs = shingles(text, k) or [""]
+def shingle_hashes(text: str, k: int = 3) -> list[int]:
+    """Polynomial composition of token hashes per k-shingle; [0] if < k
+    tokens (the sentinel keeps empty docs comparable)."""
+    hs = [token_hash(t) for t in tokenize(text)]
+    if len(hs) < k:
+        return [0]
+    out = []
+    for i in range(len(hs) - k + 1):
+        acc = hs[i]
+        for j in range(1, k):
+            acc = (acc * SHINGLE_B + hs[i + j]) % MOD_P
+        out.append(acc)
+    return out
+
+
+def minhash_signature(text: str, num_hashes: int = 8, k: int = 3) -> list[int]:
+    """Scalar reference implementation of the v2 MinHash signature:
+    sig[s] = min over shingle hashes h of (A[s]*h + C[s]) % P.  The batch
+    kernel (``dedup.minhash_signature_batch``) is the vectorized hot path;
+    a parity test pins them equal."""
+    shs = shingle_hashes(text, k)
     return [
-        min(hashlib.md5(f"{s}:{sh}".encode("utf-8")).hexdigest() for sh in shs)
+        min((MINHASH_A[s] * h + MINHASH_C[s]) % MOD_P for h in shs)
         for s in range(num_hashes)
     ]
 
 
-def lsh_band_keys(sig: list[str], band_size: int = 2) -> list[str]:
-    """LSH band keys: md5 of 'band_index|joined band slice'."""
-    return [
-        hashlib.md5(
-            (f"{b}|" + "|".join(sig[b * band_size : (b + 1) * band_size])).encode()
-        ).hexdigest()
-        for b in range(len(sig) // band_size)
-    ]
+def lsh_band_keys(sig: list[int], band_size: int = 2) -> list[int]:
+    """LSH band keys: polynomial fold of (band index, band slice) mod P."""
+    out = []
+    for b in range(len(sig) // band_size):
+        acc = b
+        for v in sig[b * band_size : (b + 1) * band_size]:
+            acc = (acc * SHINGLE_B + v) % MOD_P
+        out.append(acc)
+    return out
+
+
+def flat_token_hashes(texts: list[str], return_unique: bool = False):
+    """Tokenize a batch and hash each token via the distinct-token cache.
+
+    Returns (uint64 flat array of 64-bit md5 prefixes == hexdigest[:16],
+    doc lengths) — or, with ``return_unique``, (unique hashes, inverse
+    indices, doc lengths) so callers can do per-distinct-token work.  One
+    md5 per DISTINCT token in the batch; everything else vectorized."""
+    tok_lists = [TOKEN_RE.findall(t) for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        empty = np.empty(0, dtype=np.uint64)
+        if return_unique:
+            return empty, np.empty(0, dtype=np.int64), lens
+        return empty, lens
+    arr = np.array(flat, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    if return_unique:
+        return uh, inv, lens
+    return uh[inv], lens
+
+
+def minhash_sigs_matrix(
+    texts: list[str], num_hashes: int = 8, k: int = 3
+) -> np.ndarray:
+    """Vectorized batch MinHash: (n_docs x num_hashes) int64 signature
+    matrix, exactly equal to :func:`minhash_signature` per row."""
+    h64, lens = flat_token_hashes(texts)
+    h = ((h64 >> np.uint64(4)) % np.uint64(MOD_P)).astype(np.int64)
+    n = len(lens)
+    doc_idx = np.repeat(np.arange(n), lens)
+    total = len(h)
+    A = np.asarray(MINHASH_A[:num_hashes], dtype=np.int64)
+    C = np.asarray(MINHASH_C[:num_hashes], dtype=np.int64)
+    sig = np.empty((n, num_hashes), dtype=np.int64)
+    sig[:] = C % MOD_P  # sentinel shingle hash 0 -> sig = C[s] % P
+    if total >= k:
+        m = total - k + 1
+        acc = h[:m].copy()
+        for j in range(1, k):
+            acc = (acc * SHINGLE_B + h[j : m + j]) % MOD_P
+        valid = doc_idx[:m] == doc_idx[k - 1 :]
+        sh = acc[valid]
+        sh_doc = doc_idx[:m][valid]
+        if sh.size:
+            counts = np.bincount(sh_doc, minlength=n)
+            nonempty = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            ne_starts = starts[nonempty]
+            for s in range(num_hashes):
+                vals = (A[s] * sh + C[s]) % MOD_P
+                sig[nonempty, s] = np.minimum.reduceat(vals, ne_starts)
+    return sig
+
+
+def lsh_band_matrix(sig: np.ndarray, band_size: int = 2) -> np.ndarray:
+    """Vectorized band keys: (n_docs x n_bands) int64."""
+    n_bands = sig.shape[1] // band_size
+    out = np.empty((sig.shape[0], n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        acc = np.full(sig.shape[0], b, dtype=np.int64)
+        for v in range(band_size):
+            acc = (acc * SHINGLE_B + sig[:, b * band_size + v]) % MOD_P
+        out[:, b] = acc
+    return out
 
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over tokens: per-token hash = first 16 hex chars of md5,
-    bit votes +/-1, sign -> bit. Deterministic; no SQL oracle (bit ops)."""
+    bit votes +/-1, sign -> bit. Deterministic; SQL oracle mirrors the bit
+    votes with unnest + bit_or (see ``__ray_entry__``)."""
     votes = np.zeros(64, dtype=np.int64)
     for tok in tokenize(text):
         h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
@@ -154,6 +276,33 @@ def simhash64(text: str) -> int:
         votes += np.where(bits == 1, 1, -1)
     bits = (votes > 0).astype(np.uint64)
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized batch SimHash (uint64 per doc), equal to
+    :func:`simhash64` per row: distinct-token md5s expand to a flat
+    (tokens x 64) bit matrix, per-doc votes via one ``add.reduceat``."""
+    uh, inv, lens = flat_token_hashes(texts, return_unique=True)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(inv) == 0:
+        return out
+    # collapse to (doc, distinct-token, multiplicity) triples, then expand
+    # bits only per distinct token — vote sums cost O(distinct pairs x 64)
+    # instead of O(tokens x 64)
+    doc_idx = np.repeat(np.arange(n), lens)
+    key = doc_idx * len(uh) + inv
+    ukey, cnt = np.unique(key, return_counts=True)
+    d = (ukey // len(uh)).astype(np.int64)
+    u = ukey % len(uh)
+    bits_u = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    contrib = cnt[:, None] * bits_u[u]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    ones = np.zeros((n, 64), dtype=np.int64)
+    ones[d[starts]] = np.add.reduceat(contrib, starts, axis=0)
+    bit = (2 * ones) > lens[:, None]  # votes = 2*ones - count > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bit.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -33,50 +33,107 @@ from ..functions.ocr import (
 )
 
 
+_HASH_B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, wraps mod 2^64
+
+
+def _hash_ref_strings(arr: "pa.ChunkedArray | pa.Array", width: int) -> np.ndarray:
+    """Vectorized uint64 polynomial hash of an Arrow string column: rpad to
+    ``width``, reinterpret as an (n, width) byte matrix, fold columns.
+    Runs at C speed end-to-end — no per-row Python, no U-dtype copies."""
+    import pyarrow.compute as _pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    padded = _pc.utf8_rpad(arr, width, padding="\x00")
+    fixed = padded.cast(pa.binary(width))
+    buf = np.frombuffer(fixed.buffers()[1], dtype=np.uint8)
+    mat = buf[fixed.offset * width : (fixed.offset + len(fixed)) * width].reshape(
+        -1, width
+    )
+    h = np.zeros(len(fixed), dtype=np.uint64)
+    for j in range(width):
+        h = h * _HASH_B + mat[:, j]
+    return h
+
+
 class _MediaTableLookup:
     """media_ref -> bytes over a broadcast Arrow table (zero-copy payloads).
 
-    The index is a sorted numpy unicode array + argsort permutation, NOT a
+    The index is a sorted uint64 hash array + argsort permutation, NOT a
     Python dict: at millions of refs a per-actor dict is hundreds of MB of
     GC-tracked objects and cyclic-GC scans of it in the hot loop dominate
-    CPU (observed: 2x per-doc cost at 2.8M refs). A U-dtype array is one
-    untracked buffer; lookups are one vectorized searchsorted per batch.
-    """
+    CPU (observed: 2x per-doc cost at 2.8M refs).  Hashing the refs (C-speed
+    Arrow rpad + numpy fold) makes the driver-side build read-bound and the
+    probe array 8 bytes/ref instead of a wide U-dtype — far fewer cache
+    lines under a 26-actor concurrent load.  Hash collisions are detected at
+    build time (np.unique) and fall back to the sorted-string index; lookup
+    hits are additionally verified against the true ref string."""
 
-    def __init__(self, tbl: pa.Table, sorted_refs=None, rows=None):
+    def __init__(self, tbl: pa.Table, sorted_refs=None, rows=None, width=None):
         if sorted_refs is None:
-            # small-table path: build the index locally
-            refs = np.asarray(tbl["media_ref"].to_pylist())
-            rows = np.argsort(refs, kind="stable")
-            sorted_refs = refs[rows]
+            p = self.precompute(tbl)
+            sorted_refs, rows, width = p["sorted_refs"], p["rows"], p["width"]
         self._sorted = sorted_refs
         self._row = rows
+        self._width = width  # None => string index (collision fallback)
+        self._refs = tbl["media_ref"].combine_chunks()
         self._bytes = tbl["bytes"].combine_chunks()
 
     @classmethod
     def precompute(cls, tbl: pa.Table) -> dict:
         """Driver-side index build: returns the broadcast payload. The numpy
-        U-array + int array resolve zero-copy from plasma, so actor init is
-        O(1) instead of an O(n log n) per-actor rebuild (at 2.8M refs the
-        per-actor rebuild dominated pool ramp-up)."""
-        refs = np.asarray(tbl["media_ref"].to_pylist())
+        arrays resolve zero-copy from plasma, so actor init is O(1) instead
+        of an O(n log n) per-actor rebuild (at 2.8M refs the per-actor
+        rebuild dominated pool ramp-up)."""
+        import pyarrow.compute as _pc
+
+        refs_col = tbl["media_ref"]
+        try:
+            width = int(_pc.max(_pc.binary_length(refs_col)).as_py() or 1)
+            hashes = _hash_ref_strings(refs_col, width)
+            if np.unique(hashes).size == len(hashes):
+                rows = np.argsort(hashes, kind="stable")
+                return {
+                    "table": tbl,
+                    "sorted_refs": hashes[rows],
+                    "rows": rows,
+                    "width": width,
+                }
+        except pa.ArrowInvalid:
+            pass  # non-ASCII rpad/cast mismatch -> string fallback
+        refs = np.asarray(refs_col.to_pylist())
         rows = np.argsort(refs, kind="stable")
-        return {"table": tbl, "sorted_refs": refs[rows], "rows": rows}
+        return {"table": tbl, "sorted_refs": refs[rows], "rows": rows, "width": None}
 
     def lookup_many(self, queries) -> list:
         """Batch lookup; None where a ref is absent."""
-        q = np.asarray(queries)
-        if q.size == 0:
+        if len(queries) == 0:
             return []
+        n = len(self._sorted)
+        if self._width is not None:
+            qa = pa.array(queries, pa.string())
+            too_long = np.asarray(pc.greater(pc.binary_length(qa), self._width))
+            # a query longer than the index width can't be present; blank it
+            # so the fixed-width cast stays valid (the flag forces a miss)
+            qa = pc.if_else(
+                pa.array(too_long), pa.scalar("", pa.string()), qa
+            )
+            q = _hash_ref_strings(qa, self._width)
+        else:
+            q = np.asarray(queries)
+            too_long = np.zeros(len(q), dtype=bool)
         pos = np.searchsorted(self._sorted, q)
         out = []
-        n = len(self._sorted)
         for i in range(len(q)):
             p = pos[i]
-            if p < n and self._sorted[p] == q[i]:
-                out.append(self._bytes[int(self._row[p])].as_py())
-            else:
+            if too_long[i] or p >= n or self._sorted[p] != q[i]:
                 out.append(None)
+                continue
+            row = int(self._row[p])
+            if self._width is not None and self._refs[row].as_py() != queries[i]:
+                out.append(None)  # hash hit but ref mismatch (foreign query)
+                continue
+            out.append(self._bytes[row].as_py())
         return out
 
     def __getitem__(self, ref: str) -> bytes:
@@ -108,7 +165,8 @@ class OCRStage:
             obj = ray.get(media_lookup_ref)
             if isinstance(obj, dict) and "sorted_refs" in obj:
                 self.media = _MediaTableLookup(
-                    obj["table"], obj["sorted_refs"], obj["rows"]
+                    obj["table"], obj["sorted_refs"], obj["rows"],
+                    obj.get("width"),
                 )
             elif isinstance(obj, pa.Table):
                 self.media = _MediaTableLookup(obj)

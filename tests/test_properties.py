@@ -106,7 +106,11 @@ def test_jaccard_bounds_and_identity(a, b):
 @settings(max_examples=20, deadline=None)
 @given(st.text(alphabet="abc xyz", max_size=80))
 def test_minhash_deterministic_and_fixed_len(text):
+    from my_ocr_ray.functions.textproc import MOD_P, minhash_sigs_matrix
+
     s1 = minhash_signature(text, num_hashes=6)
     s2 = minhash_signature(text, num_hashes=6)
     assert s1 == s2 and len(s1) == 6
-    assert all(len(h) == 32 for h in s1)
+    assert all(0 <= h < MOD_P for h in s1)
+    # vectorized batch kernel == scalar reference
+    assert list(minhash_sigs_matrix([text], num_hashes=6)[0]) == s1
