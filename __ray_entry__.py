@@ -87,6 +87,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_strip": Q.q_extract_strip,
         "flagship_extract": Q.q_flagship_extract,
         "ocr_eval": Q.q_ocr_eval,
+        # parser / sink / eval-metric families
+        "recog_parse": Q.q_recog_parse,
+        "det_parse": Q.q_det_parse,
+        "det_sink": Q.q_det_sink,
+        "ocr_metric": Q.q_ocr_metric,
+        "hmean_iou": Q.q_hmean_iou,
+        "hmean_ic13": Q.q_hmean_ic13,
         # text analysis
         "token_count": Q.q_token_count,
         "quality": Q.q_quality,
@@ -95,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_parse": Q.q_events_parse,
         "events_window": Q.q_events_window,
         "sessionize": Q.q_sessionize,
+        "sessionize_salted": Q.q_sessionize_salted,
         "top_docs": Q.q_top_docs,
         "lineitem_agg": Q.q_lineitem_agg,
         "orders_join": Q.q_orders_join,
@@ -113,7 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "span_explode": _SPANS_CTE + 'SELECT doc_id, "offset", span_text FROM spans',
         "extract_reassemble": _SPANS_CTE
         + """
@@ -128,6 +136,101 @@ def oracle_sql() -> dict[str, str]:
         FROM spans
         WHERE len(regexp_extract_all(span_text, '\S+')) >= 3
         GROUP BY doc_id
+        """,
+        "recog_parse": """
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) || '.jpg' AS filename,
+               CASE WHEN doc_id % 2 = 0 THEN text ELSE 'L' || text END AS text,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_box,
+               CASE WHEN doc_id % 2 = 0
+                    THEN round(CAST(8 * (doc_id % 50) + 28 AS DOUBLE), 2)
+                    ELSE 0.0 END AS box_sum
+        FROM documents
+        """,
+        "det_parse": """
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) || '.jpg' AS file_name,
+               CAST(100 + doc_id % 7 AS BIGINT) AS height,
+               CAST(200 + doc_id % 11 AS BIGINT) AS width,
+               CAST(1 AS BIGINT) AS n_anns,
+               round(CAST(doc_id % 13 + doc_id % 17 + 30 AS DOUBLE), 2) AS bbox_sum,
+               CAST(doc_id % 2 AS BIGINT) AS crowd
+        FROM documents
+        """,
+        "det_sink": """
+        WITH b AS (SELECT doc_id, doc_id % 20 AS a,
+                          (doc_id % 10) / 10.0 AS s FROM documents)
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(a AS VARCHAR) || ',' || CAST(a+1 AS VARCHAR) || ',' ||
+               CAST(a+2 AS VARCHAR) || ',' || CAST(a+3 AS VARCHAR) || ',' ||
+               CAST(a+4 AS VARCHAR) || ',' || CAST(a+5 AS VARCHAR) || ',' ||
+               CAST(a+6 AS VARCHAR) || ',' || CAST(a+7 AS VARCHAR) AS line
+        FROM b WHERE s >= 0.5
+        UNION ALL
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS doc_id,
+               '50,51,52,53,54,55,56,57' AS line
+        FROM documents
+        """,
+        "ocr_metric": r"""
+        WITH p AS (
+          SELECT doc_id, substr(text, 1, 40) AS gt,
+                 CASE doc_id % 4
+                   WHEN 0 THEN substr(text, 1, 40)
+                   WHEN 1 THEN upper(substr(text, 1, 40))
+                   WHEN 2 THEN substr(substr(text, 1, 40), 2)
+                   ELSE reverse(substr(text, 1, 40)) END AS pred
+          FROM documents),
+        n AS (
+          SELECT CASE WHEN pred = gt THEN 1 ELSE 0 END AS m,
+                 CASE WHEN lower(pred) = lower(gt) THEN 1 ELSE 0 END AS mic,
+                 regexp_replace(lower(gt), '[^a-z0-9一-鿿]', '', 'g') AS gti,
+                 regexp_replace(lower(pred), '[^a-z0-9一-鿿]', '', 'g') AS pri
+          FROM p),
+        e AS (
+          SELECT m, mic,
+                 CASE WHEN pri = gti THEN 1 ELSE 0 END AS mics,
+                 CASE WHEN length(gti) = 0 AND length(pri) = 0 THEN 0.0
+                      ELSE CAST(levenshtein(pri, gti) AS DOUBLE)
+                           / greatest(length(gti), length(pri), 1) END AS ned
+          FROM n)
+        SELECT round(CAST(sum(m) AS DOUBLE) / count(*), 4) AS word_acc,
+               round(CAST(sum(mic) AS DOUBLE) / count(*), 4) AS word_acc_ignore_case,
+               round(CAST(sum(mics) AS DOUBLE) / count(*), 4)
+                 AS word_acc_ignore_case_symbol,
+               round(1.0 - sum(ned) / count(*), 4) AS one_minus_ned
+        FROM e
+        """,
+        "hmean_iou": """
+        WITH m AS (SELECT CASE WHEN doc_id % 8 <= 3 THEN 2 ELSE 1 END AS mt
+                   FROM documents)
+        SELECT round(CAST(sum(mt) AS DOUBLE) / (2*count(*)), 4) AS recall,
+               round(CAST(sum(mt) AS DOUBLE) / (2*count(*)), 4) AS precision,
+               round(CAST(sum(mt) AS DOUBLE) / (2*count(*)), 4) AS hmean
+        FROM m
+        """,
+        "hmean_ic13": """
+        WITH m AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN
+                   1.0 + CASE WHEN doc_id % 8 <= 1 THEN 1.0
+                              WHEN doc_id % 8 = 2 THEN 0.8 ELSE 0.0 END
+                 ELSE
+                   1.0 + CASE WHEN doc_id % 4 <= 2 THEN 0.8 ELSE 0.0 END
+                 END AS hr,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   1.0 + CASE WHEN doc_id % 8 <= 1 THEN 1.0
+                              WHEN doc_id % 8 = 2 THEN 0.8 ELSE 0.0 END
+                 ELSE
+                   1.0 + CASE WHEN doc_id % 4 <= 2 THEN 1.6 ELSE 0.0 END
+                 END AS hp,
+                 2 AS gt_care,
+                 CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS pred_care
+          FROM documents),
+        t AS (SELECT sum(hr) / sum(gt_care) AS r,
+                     sum(hp) / sum(pred_care) AS p
+              FROM m)
+        SELECT round(r, 4) AS recall, round(p, 4) AS precision,
+               round(CASE WHEN r + p = 0 THEN 0.0
+                          ELSE 2.0 * p * r / (r + p) END, 4) AS hmean
+        FROM t
         """,
         "token_count": r"""
         SELECT doc_id,
@@ -256,15 +359,30 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "embedding_dups": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-          list_sum(list_transform(generate_series(1, 8),
-            i -> CASE WHEN embedding[i] > 0
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b0 AS (SELECT vec_id, v,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> CASE WHEN v[i] > 0
                       THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
-          FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+          FROM e),
+        b1 AS (SELECT vec_id, v,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> CASE WHEN v[16+i] > 0
+                      THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+          FROM e),
+        cand AS (
+          SELECT DISTINCT va, vb FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            UNION ALL
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id))
+        SELECT c.va AS vec_a, c.vb AS vec_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.va
+        JOIN e eb ON eb.vec_id = c.vb
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
         """,
         "embedding_centroids": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -309,3 +427,7 @@ def oracle_sql() -> dict[str, str]:
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks
     }
+    # the salted two-phase sessionize must equal the plain one exactly —
+    # same oracle proves it value-for-value
+    out["sessionize_salted"] = out["sessionize"]
+    return out

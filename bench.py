@@ -67,9 +67,13 @@ def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:
 
     t0 = time.time()
     lookup = load_media_lookup(media_files)
-    # one read task per file (~2000 docs): finer map-task granularity keeps
-    # the OCR actor pool fed through ramp-up and shrinks the tail quantum
-    ds = ray.data.read_parquet(docs_files, override_num_blocks=len(docs_files))
+    # granularity ~25 map tasks per CPU: fine enough to feed the actor pool
+    # through ramp-up and keep the tail quantum ~4%, coarse enough that
+    # per-task dispatch and shuffle messaging (O(blocks x partitions)) stay
+    # negligible at low CPU counts
+    n_blocks = max(num_cpus, min(len(docs_files), 25 * num_cpus,
+                                 max(1, n_docs // 2000)))
+    ds = ray.data.read_parquet(docs_files, override_num_blocks=n_blocks)
     result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=1024)
     result.write_parquet(out_dir)
     wall = time.time() - t0

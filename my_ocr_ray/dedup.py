@@ -179,26 +179,57 @@ def jaccard_pairs(docs_ds, k: int = 3, num_partitions: int = 8):
     return joined.map_batches(compute, batch_format="pyarrow")
 
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.9, num_partitions: int = 8):
+def embedding_dup_pairs(
+    emb_ds,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    num_partitions: int = 8,
+    max_bucket_rows: int = 50_000,
+):
     """Embedding-cosine near-dup pairs above ``threshold``.
 
-    Scale shape: LSH-bucket by sign pattern of the first 8 dims (a random
-    hyperplane family), pair only within buckets — near-identical vectors
-    share the bucket with overwhelming probability.
+    Scale shape: banded multi-table sign-LSH — band ``b`` buckets by the
+    sign pattern of dims ``[b*n_planes, (b+1)*n_planes)`` (2^n_planes
+    buckets per band), pairs only within a (band, bucket), bands unioned
+    and deduped.  Bucket population is O(n / 2^n_planes) in expectation, so
+    raise ``n_planes`` as the corpus grows; ``max_bucket_rows`` is the hard
+    in-bucket O(n^2) guard — a bucket above it raises with that advice
+    instead of silently quadratically exploding a worker.
+    Multiple bands trade shuffle volume (each row ships n_bands times) for
+    recall on vectors that straddle a hyperplane in one band.
     """
+
     def bucket(batch: pa.Table) -> pa.Table:
         vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
-        signs = (vecs[:, :8] > 0).astype(np.uint8)
-        keys = (signs << np.arange(8, dtype=np.uint8)).sum(axis=1).astype(np.int64)
-        return pa.Table.from_pydict(
-            {
-                "bucket": keys,
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
-            }
-        )
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        # each band consumes n_planes distinct dims; low-dim inputs get
+        # fewer bands rather than degenerate all-in-one-bucket bands
+        eff_bands = max(1, min(n_bands, vecs.shape[1] // n_planes))
+        tables = []
+        for b in range(eff_bands):
+            signs = (vecs[:, b * n_planes : (b + 1) * n_planes] > 0).astype(
+                np.int64
+            )
+            keys = b * (1 << n_planes) + signs @ weights
+            tables.append(
+                pa.Table.from_pydict(
+                    {
+                        "bucket": keys,
+                        "vec_id": batch["vec_id"],
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
     def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_bucket_rows:
+            raise ValueError(
+                f"LSH bucket holds {group.num_rows} rows "
+                f"(> max_bucket_rows={max_bucket_rows}); raise n_planes to "
+                "split hot orthants before the in-bucket O(n^2) pass"
+            )
         vecs = np.stack(group["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
         )
@@ -217,8 +248,13 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.9, num_partitions: int = 8)
             }
         )
 
-    return (
+    cand = (
         emb_ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pyarrow")
+    )
+    # a pair can collide in several bands: keep-first dedup (cosine is
+    # identical across duplicates)
+    return cand.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )

@@ -2,8 +2,9 @@
 
 Reference: ``mmocr/models/textrecog/convertors/ctc.py:85-144`` (tensor2idx):
 per row, frames are trimmed to ``ceil(valid_ratio * T)``, argmaxed per frame,
-then collapsed by dropping repeats and blanks; per-char score is the max
-probability of the frames that produced the char.
+then collapsed by dropping repeats and blanks; per-char score is the
+probability of the FIRST frame of the run that emitted the char
+(``ctc.py:124-130``: select_idx records the transition frame).
 
 Class layout here: indices ``0..C-1`` are characters, ``C`` is the CTC blank
 (the convertor appends blank last, cf. ``convertors/ctc.py:24-33``).
@@ -32,21 +33,15 @@ def ctc_greedy_decode(
     val = frames.max(axis=1)
     out: list[int] = []
     scores: list[float] = []
-    prev = -1
-    cur_best = 0.0
+    prev = blank
     for i in range(t):
         k = int(idx[i])
-        if k != prev:
-            if prev != -1 and prev != blank:
-                out.append(prev)
-                scores.append(float(cur_best))
-            prev = k
-            cur_best = float(val[i])
-        else:
-            cur_best = max(cur_best, float(val[i]))
-    if prev != -1 and prev != blank:
-        out.append(prev)
-        scores.append(float(cur_best))
+        if k != prev and k != blank:
+            # transition frame: the reference records THIS frame's
+            # probability as the char score (first frame of the run)
+            out.append(k)
+            scores.append(float(val[i]))
+        prev = k
     return out, scores
 
 

@@ -149,11 +149,13 @@ def stitch_boxes_into_lines(
 ) -> list[dict]:
     """Merge word boxes ``{'box': [8 floats], 'text': str}`` into lines.
 
-    Reference ``mmocr/utils/box_util.py:42-117``: sort by x_min; greedily grow
-    a line with boxes that y-overlap the seed and start within ``max_x_dist``
-    of the current line's right edge; concatenate texts with spaces in x order;
-    merged box is the envelope.  Output lines are sorted top-to-bottom then
-    left-to-right (stable) so downstream ordering is deterministic.
+    Reference ``mmocr/utils/box_util.py:42-117``: sort by x_min; chain a line
+    through the most recently added box's y-overlap, then split the chain at
+    x-gaps > ``max_x_dist`` between consecutive members; concatenate texts
+    with spaces in x order; merged box is the envelope.  Divergence (by
+    design, documented): output lines are additionally sorted top-to-bottom
+    then left-to-right so downstream ordering is deterministic (the
+    reference emits in x-sorted seed order).
     """
     if not boxes:
         return []
@@ -167,26 +169,40 @@ def stitch_boxes_into_lines(
     order = sorted(range(len(boxes)), key=lambda i: (rect[i][0], i))
     used = [False] * len(boxes)
     lines: list[dict] = []
-    for oi in order:
+    for pos, oi in enumerate(order):
         if used[oi]:
             continue
         used[oi] = True
-        members = [oi]
-        right = rect[oi][2]
-        for oj in order:
+        # chain through the most recently added (rightmost) box, exactly as
+        # the reference does (box_util.py:76-84) — a staircase of boxes that
+        # pairwise overlap chains into one line even when later members no
+        # longer overlap the seed
+        chain = [oi]
+        rightmost = oi
+        for oj in order[pos + 1 :]:
             if used[oj]:
                 continue
-            if same_line(oi, oj) and rect[oj][0] - right <= max_x_dist:
+            if same_line(rightmost, oj):
                 used[oj] = True
-                members.append(oj)
-                right = max(right, rect[oj][2])
-        members.sort(key=lambda i: (rect[i][0], i))
-        text = " ".join(boxes[i]["text"] for i in members)
-        x0 = min(rect[i][0] for i in members)
-        y0 = min(rect[i][1] for i in members)
-        x1 = max(rect[i][2] for i in members)
-        y1 = max(rect[i][3] for i in members)
-        lines.append({"box": rect_to_quad(x0, y0, x1, y1), "text": text, "_y": y0, "_x": x0})
+                chain.append(oj)
+                rightmost = oj
+        # split the chain where the x-gap between CONSECUTIVE members
+        # exceeds max_x_dist (box_util.py:87-98)
+        sublines = [[chain[0]]]
+        for k in range(1, len(chain)):
+            if rect[chain[k]][0] - rect[chain[k - 1]][2] > max_x_dist:
+                sublines.append([])
+            sublines[-1].append(chain[k])
+        for members in sublines:
+            text = " ".join(boxes[i]["text"] for i in members)
+            x0 = min(rect[i][0] for i in members)
+            y0 = min(rect[i][1] for i in members)
+            x1 = max(rect[i][2] for i in members)
+            y1 = max(rect[i][3] for i in members)
+            lines.append(
+                {"box": rect_to_quad(x0, y0, x1, y1), "text": text,
+                 "_y": y0, "_x": x0}
+            )
     lines.sort(key=lambda d: (d.pop("_y"), d.pop("_x")))
     return lines
 

@@ -68,6 +68,56 @@ def min_connect_path(points) -> list[int]:
     return path
 
 
+def graph_propagation(edges, scores, text_comps=None, edge_len_thr: float = 50.0):
+    """Edge-score graph construction (``mmocr/models/textdet/postprocess/
+    wrapper.py:544-591`` behavior, vectorized): edges sorted per row, scores
+    of over-length edges (component-center distance > ``edge_len_thr``)
+    zeroed, duplicate edges' scores averaged.  Returns (sorted node array,
+    adjacency dict, {(a, b): score} dict with a < b)."""
+    edges = np.sort(np.asarray(edges, dtype=np.int64).reshape(-1, 2), axis=1)
+    scores = np.asarray(scores, dtype=np.float64).copy()
+    if text_comps is not None and len(edges):
+        boxes = np.asarray(text_comps, dtype=np.float64)[:, :8].reshape(-1, 4, 2)
+        centers = boxes.mean(axis=1)
+        dist = np.linalg.norm(
+            centers[edges[:, 0]] - centers[edges[:, 1]], axis=1
+        )
+        scores[dist > edge_len_thr] = 0.0
+    score_dict: dict[tuple[int, int], float] = {}
+    for (a, b), s in zip(edges, scores):
+        key = (int(a), int(b))
+        score_dict[key] = (
+            0.5 * (score_dict[key] + float(s)) if key in score_dict else float(s)
+        )
+    nodes = np.sort(np.unique(edges)) if len(edges) else np.empty(0, np.int64)
+    adjacency: dict[int, list[int]] = {int(n): [] for n in nodes}
+    for a, b in score_dict:
+        adjacency[a].append(b)
+        adjacency[b].append(a)
+    return nodes, adjacency, score_dict
+
+
+def connected_components_scored(
+    nodes, score_dict: dict, link_thr: float
+) -> list[list[int]]:
+    """Score-thresholded clustering over a propagated graph
+    (``wrapper.py:594-627`` semantics): only edges with score >= link_thr
+    link; nodes whose every edge is below threshold become singleton
+    clusters.  Deterministic output: members sorted, clusters sorted by
+    first member."""
+    ids = [int(n) for n in nodes]
+    index = {n: i for i, n in enumerate(ids)}
+    kept = [
+        (index[a], index[b])
+        for (a, b), s in score_dict.items()
+        if s >= link_thr
+    ]
+    comps = connected_components_edges(len(ids), kept)
+    return sorted(
+        ([ids[i] for i in comp] for comp in comps), key=lambda c: c[0]
+    )
+
+
 def row_col_f1(
     pred_row_edges, pred_col_edges, gt_row_edges, gt_col_edges, n_cells: int
 ) -> float:

@@ -146,3 +146,40 @@ def pad_divisor(img: np.ndarray, divisor: int = 32, value: float = 0.0) -> np.nd
     out = np.full((nh, nw), value, dtype=img.dtype)
     out[:h, :w] = img
     return out
+
+
+class TPSPreprocessor:
+    """Recognition-preprocessor seam (``mmocr/models/textrecog/preprocessor/
+    tps_preprocessor.py:25-82``: TPS-based STN rectification of curved text
+    before the recognizer).
+
+    The sandbox has no torch, so this stand-in keeps the reference's
+    CONTRACT — a callable applied to each word crop inside the recognition
+    stage, constructed once per actor — while the transform itself is a
+    deterministic resize-to-rectified-size no-op.  A real deployment swaps
+    ``_rectify`` for the learned grid sample; everything around it
+    (actor-pool construction, per-crop invocation point in
+    ``OCRStage.__call__``) is the production seam.
+    """
+
+    def __init__(
+        self,
+        num_fiducial: int = 20,
+        img_size: tuple[int, int] | None = None,
+        rectified_img_size: tuple[int, int] | None = None,
+    ):
+        if num_fiducial <= 0:
+            raise ValueError("num_fiducial must be positive")
+        self.num_fiducial = num_fiducial
+        self.img_size = img_size
+        self.rectified_img_size = rectified_img_size
+
+    def _rectify(self, crop: np.ndarray) -> np.ndarray:
+        if self.rectified_img_size is None or crop.size == 0:
+            return crop
+        h, w = self.rectified_img_size
+        out = resize_bilinear(crop.astype(np.float32), h, w)
+        return out > 0.5 if crop.dtype == bool else out.astype(crop.dtype)
+
+    def __call__(self, crop: np.ndarray) -> np.ndarray:
+        return self._rectify(crop)

@@ -74,19 +74,21 @@ def ocr_row_counts(pred: str, gt: str) -> dict:
     }
 
 
-def ocr_finalize(sums: dict) -> dict:
+def ocr_finalize(sums: dict, rounder=round) -> dict:
     """Dataset-level recognition metrics from summed partial counts
-    (``ocr_metric.py:83-133``)."""
+    (``ocr_metric.py:83-133``).  ``rounder`` lets oracle-checked callers
+    substitute DuckDB-compatible half-away rounding (num.round_away_scalar)
+    for Python's banker's round."""
     n = max(sums["count"], 1)
     return {
-        "word_acc": round(sums["match"] / n, 4),
-        "word_acc_ignore_case": round(sums["match_ignore_case"] / n, 4),
-        "word_acc_ignore_case_symbol": round(sums["match_ignore_case_symbol"] / n, 4),
-        "char_recall": round(sums["true_positive_char"] / max(sums["gt_char"], 1), 4),
-        "char_precision": round(
+        "word_acc": rounder(sums["match"] / n, 4),
+        "word_acc_ignore_case": rounder(sums["match_ignore_case"] / n, 4),
+        "word_acc_ignore_case_symbol": rounder(sums["match_ignore_case_symbol"] / n, 4),
+        "char_recall": rounder(sums["true_positive_char"] / max(sums["gt_char"], 1), 4),
+        "char_precision": rounder(
             sums["true_positive_char"] / max(sums["pred_char"], 1), 4
         ),
-        "1-N.E.D": round(1.0 - sums["norm_ed"] / n, 4),
+        "1-N.E.D": rounder(1.0 - sums["norm_ed"] / n, 4),
     }
 
 
@@ -109,7 +111,7 @@ def hmean_iou_row_counts(
     return {"match": hits, "gt": len(gt_polys), "pred": len(pred_polys)}
 
 
-def hmean_finalize(sums: dict) -> dict:
+def hmean_finalize(sums: dict, rounder=round) -> dict:
     recall = sums["match"] / max(sums["gt"], 1)
     precision = sums["match"] / max(sums["pred"], 1)
     h = (
@@ -118,9 +120,9 @@ def hmean_finalize(sums: dict) -> dict:
         else 0.0
     )
     return {
-        "recall": round(recall, 4),
-        "precision": round(precision, 4),
-        "hmean": round(h, 4),
+        "recall": rounder(recall, 4),
+        "precision": rounder(precision, 4),
+        "hmean": rounder(h, 4),
     }
 
 
@@ -248,7 +250,7 @@ def hmean_ic13_row_counts(
     }
 
 
-def hmean_ic13_finalize(sums: dict) -> dict:
+def hmean_ic13_finalize(sums: dict, rounder=round) -> dict:
     """Dataset-level IC13 recall/precision/hmean from summed per-image counts
     (``utils.py:56-95`` compute_hmean semantics, incl. the gt_num==0 edge)."""
     gt_num = int(sums["gt_care"])
@@ -264,9 +266,9 @@ def hmean_ic13_finalize(sums: dict) -> dict:
     denom = recall + precision
     hmean = 0.0 if denom == 0 else 2.0 * precision * recall / denom
     return {
-        "recall": round(recall, 4),
-        "precision": round(precision, 4),
-        "hmean": round(hmean, 4),
+        "recall": rounder(recall, 4),
+        "precision": rounder(precision, 4),
+        "hmean": rounder(hmean, 4),
     }
 
 

@@ -34,7 +34,7 @@ def _ocr_counts_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols)
 
 
-def ocr_eval(ds) -> dict:
+def ocr_eval(ds, rounder=round) -> dict:
     """Dataset with (pred, gt) string columns -> recognition metric dict
     (word_acc x3, char recall/precision, 1-N.E.D)."""
     from ray.data.aggregate import Sum
@@ -42,7 +42,7 @@ def ocr_eval(ds) -> dict:
     counts = ds.map_batches(_ocr_counts_batch, batch_format="pyarrow")
     agg = counts.aggregate(*[Sum(k) for k in _OCR_KEYS])
     sums = {k: agg[f"sum({k})"] or 0 for k in _OCR_KEYS}
-    return ocr_finalize(sums)
+    return ocr_finalize(sums, rounder=rounder)
 
 
 def _hmean_counts_batch(batch: pa.Table, iou_thr: float) -> pa.Table:
@@ -56,7 +56,7 @@ def _hmean_counts_batch(batch: pa.Table, iou_thr: float) -> pa.Table:
     return pa.Table.from_pydict(cols)
 
 
-def hmean_eval(ds, iou_thr: float = 0.5) -> dict:
+def hmean_eval(ds, iou_thr: float = 0.5, rounder=round) -> dict:
     """Dataset with per-image (pred_polys, gt_polys) list<list<float>> columns
     -> detection recall/precision/hmean."""
     from ray.data.aggregate import Sum
@@ -70,11 +70,12 @@ def hmean_eval(ds, iou_thr: float = 0.5) -> dict:
             "match": agg["sum(match)"] or 0,
             "gt": agg["sum(gt)"] or 0,
             "pred": agg["sum(pred)"] or 0,
-        }
+        },
+        rounder=rounder,
     )
 
 
-def hmean_ic13_eval(ds) -> dict:
+def hmean_ic13_eval(ds, rounder=round) -> dict:
     """Dataset with per-image (pred_polys, gt_polys[, gt_ignored_polys])
     list<list<float>> columns -> ICDAR2013 recall/precision/hmean
     (``mmocr/core/evaluation/hmean_ic13.py:46-216``) as a per-row partial
@@ -103,7 +104,9 @@ def hmean_ic13_eval(ds) -> dict:
     agg = ds.map_batches(counts, batch_format="pyarrow").aggregate(
         *[Sum(k) for k in keys]
     )
-    return hmean_ic13_finalize({k: agg[f"sum({k})"] or 0 for k in keys})
+    return hmean_ic13_finalize(
+        {k: agg[f"sum({k})"] or 0 for k in keys}, rounder=rounder
+    )
 
 
 def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:

@@ -59,11 +59,14 @@ def load_media_lookup(media_path: str):
     return ray.put(_MediaTableLookup.precompute(tbl.combine_chunks()))
 
 
-# target span rows per shuffle partition: keeps each partition's rebuild
-# block ~20MB / sub-second and scales partition count LINEARLY with data
-# volume (a fixed per-CPU count stops scaling once partitions hold millions
-# of rows — measured as the round-1 efficiency cliff, DESIGN.md §5b)
-SPAN_ROWS_PER_PARTITION = 250_000
+# target span rows per shuffle partition: scales partition count LINEARLY
+# with data volume once partitions would exceed ~2M rows (~170MB blocks,
+# ~1.5s vectorized rebuild each) while keeping the floor at cpus/2.
+# Measured: shuffle messaging is O(input blocks x partitions), so an
+# aggressive 250k-row target (52 partitions at 1.6M docs) cost 20% end-to-end
+# throughput vs 16 partitions with zero tail benefit — partitions must grow
+# with DATA, not shrink the target block
+SPAN_ROWS_PER_PARTITION = 2_000_000
 # average spans per interleaved doc (measured 7.6 on the synthetic corpus);
 # used only to size the shuffle, not for correctness
 EST_SPANS_PER_DOC = 8

@@ -427,6 +427,278 @@ def q_ocr_eval(sf_dir: str):
     return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
 
 
+# ---------------------------------------------------------------------------
+# parser / sink / eval-metric family (oracle-checked fixtures derived
+# deterministically from the documents table so the REAL kernels run on the
+# Ray side while DuckDB states the expected results)
+# ---------------------------------------------------------------------------
+
+
+def q_recog_parse(sf_dir: str):
+    """LineStrParser format1/format2 over derived annotation lines
+    (``mmocr/datasets/utils/parser.py:8-51`` semantics): even doc_ids get a
+    format2 line (filename + 8 coords + text), odd get format1; the real
+    parser (``sources/lines.py:32``) classifies and splits.  The 'L' prefix
+    keeps format1 text unambiguous (a text opening with 8 numeric tokens
+    would legitimately parse as format2)."""
+    from ..sources.lines import parse_recog_lines
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        lines = []
+        for i, t in zip(ids, texts):
+            fn = f"img_{i}.jpg"
+            if i % 2 == 0:
+                a = int(i % 50)
+                coords = " ".join(str(a + j) for j in range(8))
+                lines.append(f"{fn} {coords} {t}")
+            else:
+                lines.append(f"{fn} L{t}")
+        return pa.Table.from_pydict({"text": pa.array(lines, pa.string())})
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        bl = batch["box"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "filename": batch["filename"],
+                "text": batch["text"],
+                "n_box": pa.array([len(b) for b in bl], pa.int64()),
+                "box_sum": pa.array(
+                    [round_away_scalar(float(sum(b)), 2) for b in bl],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(parse_recog_lines, batch_format="pyarrow")
+        .map_batches(flatten, batch_format="pyarrow")
+    )
+
+
+def q_det_parse(sf_dir: str):
+    """LineJsonParser det annotations (``parser.py:98-121``): build a JSON
+    line per doc, parse with the real reader kernel
+    (``sources/lines.py:96``), flatten the nested annotation list."""
+    import json as _json
+
+    from ..sources.lines import parse_det_lines
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        lines = []
+        for i in ids:
+            i = int(i)
+            obj = {
+                "file_name": f"img_{i}.jpg",
+                "height": 100 + i % 7,
+                "width": 200 + i % 11,
+                "annotations": [
+                    {
+                        "iscrowd": i % 2,
+                        "category_id": 1,
+                        "bbox": [i % 13, i % 17, 10, 20],
+                        "segmentation": [[0, 0, 10, 0, 10, 20, 0, 20]],
+                    }
+                ],
+            }
+            lines.append(_json.dumps(obj))
+        return pa.Table.from_pydict({"text": pa.array(lines, pa.string())})
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        rows = {"file_name": [], "height": [], "width": [], "n_anns": [],
+                "bbox_sum": [], "crowd": []}
+        for r in batch.to_pylist():
+            rows["file_name"].append(r["file_name"])
+            rows["height"].append(r["height"])
+            rows["width"].append(r["width"])
+            rows["n_anns"].append(len(r["annotations"]))
+            rows["bbox_sum"].append(
+                round_away_scalar(
+                    sum(sum(a["bbox"]) for a in r["annotations"]), 2
+                )
+            )
+            rows["crowd"].append(sum(a["iscrowd"] for a in r["annotations"]))
+        return pa.Table.from_pydict(
+            {
+                "file_name": pa.array(rows["file_name"], pa.string()),
+                "height": pa.array(rows["height"], pa.int64()),
+                "width": pa.array(rows["width"], pa.int64()),
+                "n_anns": pa.array(rows["n_anns"], pa.int64()),
+                "bbox_sum": pa.array(rows["bbox_sum"], pa.float64()),
+                "crowd": pa.array(rows["crowd"], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(parse_det_lines, batch_format="pyarrow")
+        .map_batches(flatten, batch_format="pyarrow")
+    )
+
+
+def q_det_sink(sf_dir: str):
+    """Score-filtered boundary csv sink rows (``tools/det_test_imgs.py:
+    30-50`` semantics via ``sources/sinks.py:15``): two derived boundaries
+    per doc, the low-score one dropped when score < 0.5."""
+    from ..sources.sinks import boundaries_to_text_rows
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keys, blists = [], []
+        for i in ids:
+            i = int(i)
+            a = float(i % 20)
+            keys.append(f"img_{i}")
+            blists.append(
+                [
+                    [a + j for j in range(8)] + [(i % 10) / 10.0],
+                    [50.0 + j for j in range(8)] + [0.9],
+                ]
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(keys, pa.string()),
+                "boundaries": pa.array(blists, pa.list_(pa.list_(pa.float64()))),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(
+            boundaries_to_text_rows,
+            batch_format="pyarrow",
+            fn_kwargs={"min_score": 0.5},
+        )
+    )
+
+
+def q_ocr_metric(sf_dir: str):
+    """Recognition metric aggregation (``mmocr/core/evaluation/ocr_metric.py:
+    83-133``) over derived (gt, pred) pairs: pred is gt / uppercased /
+    first-char-dropped / reversed by doc_id mod 4, exercising all three word
+    accuracy levels and the edit-distance path.  1-row output; the SQL
+    oracle recomputes word accuracies and N.E.D with DuckDB levenshtein."""
+    from ..functions.num import round_away_scalar as _ras
+    from .evaluate import ocr_eval
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        gts, preds = [], []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            gt = t[:40]
+            m = int(i) % 4
+            if m == 0:
+                p = gt
+            elif m == 1:
+                p = gt.upper()
+            elif m == 2:
+                p = gt[1:]
+            else:
+                p = gt[::-1]
+            gts.append(gt)
+            preds.append(p)
+        return pa.Table.from_pydict(
+            {"gt": pa.array(gts, pa.string()), "pred": pa.array(preds, pa.string())}
+        )
+
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    m = ocr_eval(pairs, rounder=_ras)
+    return pa.Table.from_pydict(
+        {
+            "word_acc": pa.array([m["word_acc"]], pa.float64()),
+            "word_acc_ignore_case": pa.array(
+                [m["word_acc_ignore_case"]], pa.float64()
+            ),
+            "word_acc_ignore_case_symbol": pa.array(
+                [m["word_acc_ignore_case_symbol"]], pa.float64()
+            ),
+            "one_minus_ned": pa.array([m["1-N.E.D"]], pa.float64()),
+        }
+    )
+
+
+def _derive_det_fixture(batch: pa.Table, ic13: bool) -> pa.Table:
+    """Per-doc detection fixture: a far exact-match pair plus a shifted (or
+    split, odd doc_ids under ic13) box — places every matching branch
+    (one2one strict->, one2many >=, miss) on a doc_id-arithmetic lattice
+    that SQL can restate."""
+    from ..functions.geometry import rect_to_quad
+
+    ids = batch["doc_id"].to_numpy()
+    preds_out, gts_out = [], []
+    for i in ids:
+        i = int(i)
+        far = rect_to_quad(100, 0, 110, 10)
+        gts = [rect_to_quad(0, 0, 10, 10), far]
+        if ic13 and i % 2 == 1:
+            s = i % 4
+            preds = [
+                rect_to_quad(s, 0, s + 5, 10),
+                rect_to_quad(s + 5, 0, s + 10, 10),
+                far,
+            ]
+        else:
+            s = i % 8
+            preds = [rect_to_quad(s, 0, s + 10, 10), far]
+        preds_out.append(preds)
+        gts_out.append(gts)
+    return pa.Table.from_pydict(
+        {
+            "pred_polys": pa.array(preds_out, pa.list_(pa.list_(pa.float64()))),
+            "gt_polys": pa.array(gts_out, pa.list_(pa.list_(pa.float64()))),
+        }
+    )
+
+
+def q_hmean_iou(sf_dir: str):
+    """Detection hmean-iou (``mmocr/core/evaluation/hmean_iou.py:7-116``)
+    over the derived per-doc polygon fixture, via the real per-image greedy
+    matcher + distributed count sums (``pipelines/evaluate.py``)."""
+    from ..functions.num import round_away_scalar as _ras
+    from .evaluate import hmean_eval
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _derive_det_fixture, batch_format="pyarrow", fn_kwargs={"ic13": False}
+    )
+    m = hmean_eval(ds, rounder=_ras)
+    return pa.Table.from_pydict(
+        {
+            "recall": pa.array([m["recall"]], pa.float64()),
+            "precision": pa.array([m["precision"]], pa.float64()),
+            "hmean": pa.array([m["hmean"]], pa.float64()),
+        }
+    )
+
+
+def q_hmean_ic13(sf_dir: str):
+    """ICDAR2013 hmean (``mmocr/core/evaluation/hmean_ic13.py:46-216``) over
+    the same fixture lattice; odd doc_ids split the shifted box in two so
+    the one2many (0.8-score) pass and its >= threshold edge are exercised
+    and SQL-checked."""
+    from ..functions.num import round_away_scalar as _ras
+    from .evaluate import hmean_ic13_eval
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _derive_det_fixture, batch_format="pyarrow", fn_kwargs={"ic13": True}
+    )
+    m = hmean_ic13_eval(ds, rounder=_ras)
+    return pa.Table.from_pydict(
+        {
+            "recall": pa.array([m["recall"]], pa.float64()),
+            "precision": pa.array([m["precision"]], pa.float64()),
+            "hmean": pa.array([m["hmean"]], pa.float64()),
+        }
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling event-time window aggregate (map-side window key + grouped
     partial aggregation — the streaming-window shape on a batch table)."""
@@ -444,6 +716,19 @@ def q_sessionize(sf_dir: str):
 
     return sessionize(
         _read(sf_dir, "events", ["user_id", "ts", "value"]), gap_sec=1800
+    )
+
+
+def q_sessionize_salted(sf_dir: str):
+    """Two-phase salted sessionize (hot users shard by time bucket, partial
+    sessions merge exactly) — checked against the SAME SQL oracle as
+    ``sessionize``, proving the salted path is value-identical."""
+    from ..windows import sessionize_salted
+
+    return sessionize_salted(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        gap_sec=1800,
+        time_bucket_sec=7200,
     )
 
 

@@ -57,6 +57,65 @@ def parse_recog_lines(batch: pa.Table, separator: str = " ") -> pa.Table:
     )
 
 
+def parse_multi_sep_lines(
+    batch: pa.Table,
+    keys: tuple[str, ...] = ("filename", "text"),
+    keys_idx: tuple[int, ...] = (0, 1),
+    separators: str = " ",
+    on_short: str = "raise",
+) -> pa.Table:
+    """``LineStrParser2`` semantics (``mmocr/datasets/utils/parser.py:
+    53-96``): every non-space character of ``separators`` is normalized to a
+    space, the line is whitespace-split, and ``keys_idx`` selects the token
+    per output key.  The reference raises on lines with too few tokens;
+    ``on_short='skip'`` instead drops them (keeps a streaming job alive on
+    dirty data)."""
+    assert len(keys) == len(keys_idx)
+    if on_short not in ("raise", "skip"):
+        raise ValueError(f"on_short must be raise|skip, got {on_short}")
+    need = max(keys_idx)
+    cols: dict[str, list[str]] = {k: [] for k in keys}
+    for line in batch["text"].to_pylist():
+        norm = line
+        for ch in separators:
+            if ch != " ":
+                norm = norm.replace(ch, " ")
+        parts = norm.split()
+        if len(parts) <= need:
+            if not parts:
+                continue  # blank line (reference's loader pre-filters these)
+            if on_short == "raise":
+                raise ValueError(f"key index {need} out of range: {parts}")
+            continue
+        for k, i in zip(keys, keys_idx):
+            cols[k].append(parts[i])
+    return pa.Table.from_pydict(
+        {k: pa.array(v, pa.string()) for k, v in cols.items()}
+    )
+
+
+def read_multi_sep_annotations(
+    path: str,
+    keys: tuple[str, ...] = ("filename", "text"),
+    keys_idx: tuple[int, ...] = (0, 1),
+    separators: str = " ",
+    on_short: str = "raise",
+):
+    """annotation txt with mixed separators -> Dataset(keys...)."""
+    import ray.data
+
+    return ray.data.read_text(path).map_batches(
+        parse_multi_sep_lines,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "keys": keys,
+            "keys_idx": keys_idx,
+            "separators": separators,
+            "on_short": on_short,
+        },
+    )
+
+
 def _is_float(s: str) -> bool:
     try:
         float(s)

@@ -153,7 +153,14 @@ class OCRStage:
         scale: int = 2,
         min_y_overlap_ratio: float = 0.5,
         on_error: str = "raise",
+        preprocessor=None,
     ):
+        # recognition-preprocessor seam (TPS rectification in the reference,
+        # ``tps_preprocessor.py:25-82``): a callable applied to each word
+        # crop before frame extraction, constructed once per actor —
+        # pass ``functions.imgops.TPSPreprocessor`` (stand-in) or any
+        # model-backed callable here
+        self.preprocessor = preprocessor
         self.media = None  # dict[str, bytes] | _MediaTableLookup
         if media_lookup_ref is not None:
             import ray
@@ -239,9 +246,10 @@ class OCRStage:
             for b in detect_word_boxes(img, scale=self.scale):
                 # detect emits axis-aligned quads [x0,y0,x1,y0,x1,y1,x0,y1]
                 x0, y0, x1, y1 = int(b[0]), int(b[1]), int(b[4]), int(b[5])
-                all_frames.append(
-                    word_frame_logits(ink[y0:y1, x0:x1], scale=self.scale)
-                )
+                crop = ink[y0:y1, x0:x1]
+                if self.preprocessor is not None:
+                    crop = self.preprocessor(crop)
+                all_frames.append(word_frame_logits(crop, scale=self.scale))
                 word_meta.append((slot, b[:8]))
 
         texts_per_slot: list[list[dict]] = [[] for _ in images]

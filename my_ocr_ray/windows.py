@@ -112,3 +112,102 @@ def sessionize(events_ds, gap_sec: int = 1800):
     return events_ds.groupby("user_id").map_groups(
         build, batch_format="pyarrow"
     )
+
+
+def sessionize_salted(
+    events_ds, gap_sec: int = 1800, time_bucket_sec: int = 86_400
+):
+    """Hot-user-safe sessionize, result EXACTLY equal to :func:`sessionize`.
+
+    Phase 1 salts the shuffle key with a coarse time bucket, so a
+    pathological user's events shard across partitions instead of landing in
+    one giant group; each (user, bucket) builds partial sessions locally.
+    Phase 2 regroups by user over the PARTIAL-SESSION rows (orders of
+    magnitude smaller than the event rows) and merges consecutive partials
+    whose boundary gap <= gap_sec — rejoining sessions split at bucket
+    edges.  Merging consecutive time-ordered partials by the gap rule is
+    the session rule itself, so equality holds for any bucket size."""
+
+    def partial(group: pa.Table) -> pa.Table:
+        users = group["user_id"].to_numpy(zero_copy_only=False)
+        secs = _epoch_seconds(group["ts"])
+        vals = group["value"].to_numpy(zero_copy_only=False)
+        tb = secs // time_bucket_sec
+        order = np.lexsort((secs, tb, users))
+        u, b, s, v = users[order], tb[order], secs[order], vals[order]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (
+                (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+                | ((s[1:] - s[:-1]) > gap_sec)
+            )
+        bounds = np.flatnonzero(new)
+        ends = np.concatenate((bounds[1:], [len(u)]))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[bounds], pa.int64()),
+                "session_start": pa.array(s[bounds], pa.int64()),
+                "session_end": pa.array(s[ends - 1], pa.int64()),
+                "n_events": pa.array(ends - bounds, pa.int64()),
+                "value_sum": pa.array(
+                    np.add.reduceat(v, bounds) if len(bounds) else [],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        from .functions.num import round_away
+
+        users = group["user_id"].to_numpy(zero_copy_only=False)
+        starts = group["session_start"].to_numpy(zero_copy_only=False)
+        ends_in = group["session_end"].to_numpy(zero_copy_only=False)
+        ns = group["n_events"].to_numpy(zero_copy_only=False)
+        vs = group["value_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((starts, users))
+        u, st, en, n, v = (
+            users[order], starts[order], ends_in[order], ns[order], vs[order]
+        )
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | ((st[1:] - en[:-1]) > gap_sec)
+        bounds = np.flatnonzero(new)
+        ends = np.concatenate((bounds[1:], [len(u)]))
+        sess_id = np.zeros(len(bounds), dtype=np.int64)
+        if len(bounds):
+            bu = u[bounds]
+            user_first = np.ones(len(bounds), dtype=bool)
+            user_first[1:] = bu[1:] != bu[:-1]
+            idx = np.arange(len(bounds))
+            first_idx = np.maximum.accumulate(np.where(user_first, idx, 0))
+            sess_id = idx - first_idx
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[bounds], pa.int64()),
+                "session_idx": pa.array(sess_id, pa.int64()),
+                "session_start": pa.array(st[bounds], pa.int64()),
+                "session_end": pa.array(en[ends - 1], pa.int64()),
+                "n_events": pa.array(
+                    np.add.reduceat(n, bounds) if len(bounds) else [],
+                    pa.int64(),
+                ),
+                "sum_value": pa.array(
+                    round_away(
+                        np.add.reduceat(v, bounds) if len(bounds) else np.array([]),
+                        2,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def bucket_key(batch: pa.Table) -> pa.Table:
+        tb = _epoch_seconds(batch["ts"]) // time_bucket_sec
+        return batch.append_column("tb", pa.array(tb, pa.int64()))
+
+    partials = (
+        events_ds.map_batches(bucket_key, batch_format="pyarrow")
+        .groupby(["user_id", "tb"])
+        .map_groups(partial, batch_format="pyarrow")
+    )
+    return partials.groupby("user_id").map_groups(merge, batch_format="pyarrow")

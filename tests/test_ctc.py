@@ -45,3 +45,25 @@ def test_empty_and_all_blank():
 
 def test_indices_to_text():
     assert indices_to_text([10, 11, 0], "0123456789ABC") == "AB0"
+
+
+def test_ctc_char_score_is_first_frame_of_run():
+    """Reference tensor2idx (convertors/ctc.py:124-130) records the
+    TRANSITION frame's probability, not the run max."""
+    import numpy as np
+
+    from my_ocr_ray.functions.ctc import ctc_greedy_decode
+
+    # frames: class 0 at p=0.6 then repeated at p=0.9 -> score must be 0.6
+    frames = np.array(
+        [
+            [0.6, 0.1, 0.3],
+            [0.9, 0.05, 0.05],
+            [0.1, 0.1, 0.8],  # blank (class 2)
+            [0.2, 0.7, 0.1],
+        ],
+        dtype=np.float32,
+    )
+    idxs, scores = ctc_greedy_decode(frames, blank=2)
+    assert idxs == [0, 1]
+    assert scores == [np.float32(0.6), np.float32(0.7)]

@@ -127,3 +127,56 @@ def test_ivf_recall_against_brute_force(ray_session):
     for q in range(3):
         top1 = [r for r in exact if r["query_id"] == q and r["rank"] == 1]
         assert top1[0]["vec_id"] == q and abs(top1[0]["sim"] - 1.0) < 1e-6
+
+
+def test_embedding_lsh_giant_bucket_guard(ray_session):
+    """All-positive vectors land in one orthant; a tiny cap must raise with
+    actionable advice instead of silently running the O(n^2) pass."""
+    import ray.data
+
+    from my_ocr_ray.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(0)
+    vecs = (np.abs(rng.normal(size=(40, 64))) + 0.1).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = embedding_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, max_bucket_rows=10
+    )
+    with pytest.raises(Exception, match="n_planes"):
+        ds.count()
+
+
+def test_embedding_lsh_second_band_rescues_straddler(ray_session):
+    """A near-identical pair differing only in the sign of dim 0 is missed
+    by band 0 but caught by band 1 (multi-table recall)."""
+    import ray.data
+
+    from my_ocr_ray.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64).astype(np.float32) + 2.0  # well away from 0
+    v1, v2 = base.copy(), base.copy()
+    v1[0], v2[0] = 0.01, -0.01  # straddle the dim-0 hyperplane
+    others = rng.normal(size=(20, 64)).astype(np.float32)
+    vecs = np.vstack([v1, v2, others])
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    one_band = embedding_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99, n_bands=1
+    ).take_all()
+    two_band = embedding_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99, n_bands=2
+    ).take_all()
+    assert (0, 1) not in {(r["vec_a"], r["vec_b"]) for r in one_band}
+    assert (0, 1) in {(r["vec_a"], r["vec_b"]) for r in two_band}

@@ -114,3 +114,42 @@ def test_hmean_sweep_picks_best_threshold(ray_session):
     )
     best = hmean_eval_sweep(ds, score_thrs=[0.3, 0.5, 0.7])
     assert best["hmean"] == 1.0 and best["score_thr"] == 0.5
+
+
+def test_sessionize_salted_equals_plain(ray_session):
+    """The salted two-phase sessionize must be value-identical to the plain
+    one, including sessions spanning bucket boundaries and a hot user."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.windows import sessionize, sessionize_salted
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for uid in range(6):
+        t = 0
+        n = 2000 if uid == 0 else 50  # user 0 is hot
+        for _ in range(n):
+            t += int(rng.integers(1, 4000))
+            rows.append((uid, t))
+    ts = pa.array(
+        [np.datetime64(t, "s") for _, t in rows], pa.timestamp("us")
+    )
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": ts,
+            "value": pa.array(
+                rng.random(len(rows)).round(3), pa.float64()
+            ),
+        }
+    )
+    plain = sessionize(ray.data.from_arrow(tbl), gap_sec=1800).to_pandas()
+    salted = sessionize_salted(
+        ray.data.from_arrow(tbl), gap_sec=1800, time_bucket_sec=3600
+    ).to_pandas()
+    key = ["user_id", "session_idx"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    salted = salted.sort_values(key).reset_index(drop=True)
+    assert plain.equals(salted[plain.columns])

@@ -99,3 +99,38 @@ def test_crop_quad_clamps_to_image():
     assert out.shape == (10, 10)
     small = crop_quad(img, rect_to_quad(4, 4, 6, 6), 0.0, 0.0)
     assert small.shape == (2, 2)
+
+
+def test_stitch_staircase_chains_through_rightmost():
+    """Reference chaining (box_util.py:76-84): c overlaps b but not a; the
+    chain a-b-c still forms one line because the test walks the most
+    recently added box."""
+    from my_ocr_ray.functions.geometry import stitch_boxes_into_lines
+
+    def quad(x0, y0, x1, y1):
+        return [x0, y0, x1, y0, x1, y1, x0, y1]
+
+    boxes = [
+        {"box": quad(0, 0, 10, 10), "text": "a"},
+        {"box": quad(12, 4, 22, 14), "text": "b"},   # overlaps a (60%)
+        {"box": quad(24, 9, 34, 19), "text": "c"},   # overlaps b, NOT a
+    ]
+    lines = stitch_boxes_into_lines(boxes, max_x_dist=5, min_y_overlap_ratio=0.5)
+    assert [ln["text"] for ln in lines] == ["a b c"]
+
+
+def test_stitch_gap_splits_between_consecutive_members():
+    """box_util.py:87-98: the split compares consecutive members' gap, not
+    the line envelope's right edge."""
+    from my_ocr_ray.functions.geometry import stitch_boxes_into_lines
+
+    def quad(x0, y0, x1, y1):
+        return [x0, y0, x1, y0, x1, y1, x0, y1]
+
+    boxes = [
+        {"box": quad(0, 0, 10, 10), "text": "a"},
+        {"box": quad(12, 0, 22, 10), "text": "b"},
+        {"box": quad(60, 0, 70, 10), "text": "far"},  # same line, big gap
+    ]
+    lines = stitch_boxes_into_lines(boxes, max_x_dist=5, min_y_overlap_ratio=0.5)
+    assert [ln["text"] for ln in lines] == ["a b", "far"]

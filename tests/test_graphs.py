@@ -34,3 +34,39 @@ def test_row_col_f1_perfect_and_partial():
     bad_rows = [(0, 1), (1, 2), (2, 3)]
     score = row_col_f1(bad_rows, cols, rows, cols, 4)
     assert 0.0 < score < 1.0
+
+
+def test_graph_propagation_dedup_and_length_zeroing():
+    """wrapper.py:544-591 semantics: duplicate edges average scores; edges
+    longer than edge_len_thr (component-center distance) get score 0."""
+    import numpy as np
+
+    from my_ocr_ray.functions.graphs import graph_propagation
+
+    comps = np.array(
+        [
+            [0, 0, 1, 0, 1, 1, 0, 1, 0.9],
+            [2, 0, 3, 0, 3, 1, 2, 1, 0.9],
+            [100, 0, 101, 0, 101, 1, 100, 1, 0.9],
+        ]
+    )
+    edges = [[0, 1], [1, 0], [0, 2]]
+    scores = [0.8, 0.4, 0.99]
+    nodes, adj, sd = graph_propagation(edges, scores, comps, edge_len_thr=50.0)
+    assert list(nodes) == [0, 1, 2]
+    assert sd[(0, 1)] == 0.5 * (0.8 + 0.4)  # duplicate edge averaged
+    assert sd[(0, 2)] == 0.0                # 100-px edge zeroed
+    assert sorted(adj[0]) == [1, 2]
+
+
+def test_connected_components_scored_threshold():
+    from my_ocr_ray.functions.graphs import (
+        connected_components_scored,
+        graph_propagation,
+    )
+
+    nodes, adj, sd = graph_propagation(
+        [[0, 1], [1, 2], [3, 4]], [0.9, 0.2, 0.8], None
+    )
+    clusters = connected_components_scored(nodes, sd, link_thr=0.5)
+    assert clusters == [[0, 1], [2], [3, 4]]

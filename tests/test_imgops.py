@@ -66,3 +66,41 @@ def test_pad_divisor():
     out = pad_divisor(img, 32)
     assert out.shape == (64, 96)
     assert out[:33, :65].all() and out[40:, :].sum() == 0
+
+
+def test_tps_preprocessor_seam():
+    """TPS stand-in: identity without a rectified size, deterministic
+    resize with one; OCRStage accepts it at the documented seam."""
+    import numpy as np
+
+    from my_ocr_ray.functions.imgops import TPSPreprocessor
+
+    crop = np.zeros((8, 12), dtype=bool)
+    crop[2:6, 3:9] = True
+    assert TPSPreprocessor()(crop) is crop
+    out = TPSPreprocessor(rectified_img_size=(4, 6))(crop)
+    assert out.shape == (4, 6) and out.dtype == bool
+
+
+def test_ocrstage_preprocessor_identity_keeps_output():
+    import numpy as np
+    import pyarrow as pa
+
+    from my_ocr_ray.functions.imaging import png_encode, render_text_image
+    from my_ocr_ray.functions.imgops import TPSPreprocessor
+    from my_ocr_ray.stages.ocrstage import OCRStage
+
+    img = render_text_image(["AB CD"], scale=2)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "offset": pa.array([0], pa.int32()),
+            "kind": pa.array(["media"], pa.string()),
+            "text": pa.array([""], pa.string()),
+            "media_ref": pa.array(["m"], pa.string()),
+            "bytes": pa.array([png_encode(img)], pa.binary()),
+        }
+    )
+    plain = OCRStage()(batch)["text"].to_pylist()
+    with_tps = OCRStage(preprocessor=TPSPreprocessor())(batch)["text"].to_pylist()
+    assert plain == with_tps == ["AB CD"]

@@ -167,3 +167,45 @@ def test_audio_video_stub_stages(ray_session):
     ).take_all()
     assert [r["frame_idx"] for r in out] == [0, 2]
     assert [r["mean_luma"] for r in out] == [10.0, 30.0]
+
+
+def test_multi_separator_parser():
+    """LineStrParser2 semantics (parser.py:53-96): non-space separator chars
+    normalized to spaces, whitespace split, keys_idx selection."""
+    import pyarrow as pa
+
+    from my_ocr_ray.sources.lines import parse_multi_sep_lines
+
+    batch = pa.table(
+        {"text": ["a.jpg,hello|world", "b.jpg,  hi,", "", "c.jpg"]}
+    )
+    out = parse_multi_sep_lines(
+        batch, keys=("filename", "text"), keys_idx=(0, 1), separators=",|",
+        on_short="skip",
+    )
+    assert out["filename"].to_pylist() == ["a.jpg", "b.jpg"]
+    assert out["text"].to_pylist() == ["hello", "hi"]
+
+
+def test_multi_separator_parser_raises_on_short():
+    import pyarrow as pa
+    import pytest
+
+    from my_ocr_ray.sources.lines import parse_multi_sep_lines
+
+    batch = pa.table({"text": ["only_one_token"]})
+    with pytest.raises(ValueError, match="out of range"):
+        parse_multi_sep_lines(batch, separators=" ")
+
+
+def test_multi_separator_parser_keys_idx_reorder():
+    import pyarrow as pa
+
+    from my_ocr_ray.sources.lines import parse_multi_sep_lines
+
+    batch = pa.table({"text": ["x;1;label"]})
+    out = parse_multi_sep_lines(
+        batch, keys=("text", "filename"), keys_idx=(2, 0), separators=";"
+    )
+    assert out["text"].to_pylist() == ["label"]
+    assert out["filename"].to_pylist() == ["x"]
