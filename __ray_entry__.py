@@ -361,13 +361,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b0 AS (SELECT vec_id, v,
-          list_sum(list_transform(generate_series(1, 16),
+          list_sum(list_transform(generate_series(1, 12),
             i -> CASE WHEN v[i] > 0
                       THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
           FROM e),
         b1 AS (SELECT vec_id, v,
-          list_sum(list_transform(generate_series(1, 16),
-            i -> CASE WHEN v[16+i] > 0
+          list_sum(list_transform(generate_series(1, 12),
+            i -> CASE WHEN v[12+i] > 0
                       THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
           FROM e),
         cand AS (

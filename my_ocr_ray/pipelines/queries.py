@@ -244,10 +244,17 @@ def q_jaccard_adjacent(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    """12 sign-planes x 2 bands at these table sizes (500-5000 vectors):
+    2^12 buckets per band leaves a nonzero candidate set so the oracle
+    checks values, not just emptiness; production defaults are higher
+    (n_planes grows with corpus size, see dedup.embedding_dup_pairs)."""
     from ..dedup import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.3
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.3,
+        n_planes=12,
+        n_bands=2,
     )
 
 

@@ -134,14 +134,17 @@ def test_sessionize_salted_equals_plain(ray_session):
             t += int(rng.integers(1, 4000))
             rows.append((uid, t))
     ts = pa.array(
-        [np.datetime64(t, "s") for _, t in rows], pa.timestamp("us")
-    )
+        np.array([t for _, t in rows], dtype=np.int64) * 1_000_000
+    ).cast(pa.timestamp("us"))
     tbl = pa.table(
         {
             "user_id": pa.array([u for u, _ in rows], pa.int64()),
             "ts": ts,
+            # 2-decimal values like the events table: sums then sit ~0.005
+            # away from any 2dp rounding boundary, so partial-sum
+            # association (salted) cannot flip the rounding
             "value": pa.array(
-                rng.random(len(rows)).round(3), pa.float64()
+                rng.random(len(rows)).round(2), pa.float64()
             ),
         }
     )
