@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_metric": Q.q_ocr_metric,
         "hmean_iou": Q.q_hmean_iou,
         "hmean_ic13": Q.q_hmean_ic13,
+        "hmean_sweep": Q.q_hmean_sweep,
         # text analysis
         "token_count": Q.q_token_count,
         "quality": Q.q_quality,
@@ -231,6 +232,26 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN r + p = 0 THEN 0.0
                           ELSE 2.0 * p * r / (r + p) END, 4) AS hmean
         FROM t
+        """,
+        "hmean_sweep": """
+        WITH thrs(thr) AS (SELECT CAST(unnest([0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                                       AS DOUBLE)),
+        m AS (
+          SELECT thr,
+            sum(CASE WHEN (doc_id % 10)/10.0 >= thr AND doc_id % 8 <= 3
+                     THEN 2 ELSE 1 END) AS mt,
+            sum(CASE WHEN (doc_id % 10)/10.0 >= thr THEN 2 ELSE 1 END) AS pd,
+            2 * count(*) AS gt
+          FROM documents CROSS JOIN thrs GROUP BY thr),
+        h AS (SELECT thr, CAST(mt AS DOUBLE)/gt AS r,
+                     CAST(mt AS DOUBLE)/pd AS p FROM m),
+        s AS (SELECT thr AS score_thr, round(r, 4) AS recall,
+                     round(p, 4) AS precision,
+                     round(CASE WHEN r + p = 0 THEN 0.0
+                                ELSE 2.0*p*r/(r+p) END, 4) AS hmean
+              FROM h)
+        SELECT score_thr, recall, precision, hmean
+        FROM s ORDER BY hmean DESC, score_thr ASC LIMIT 1
         """,
         "token_count": r"""
         SELECT doc_id,

@@ -71,8 +71,7 @@ def run_flagship(n_docs: int, num_cpus: int, out_dir: str) -> dict:
     # through ramp-up and keep the tail quantum ~4%, coarse enough that
     # per-task dispatch and shuffle messaging (O(blocks x partitions)) stay
     # negligible at low CPU counts
-    n_blocks = max(num_cpus, min(len(docs_files), 25 * num_cpus,
-                                 max(1, n_docs // 2000)))
+    n_blocks = max(num_cpus, min(25 * num_cpus, max(1, n_docs // 500)))
     ds = ray.data.read_parquet(docs_files, override_num_blocks=n_blocks)
     result = extract(ds, media_lookup_ref=lookup, ocr_batch_size=1024)
     result.write_parquet(out_dir)
@@ -91,7 +90,11 @@ def run_queries(sf_dir: str) -> dict:
         t0 = time.time()
         res = fn(sf_dir)
         if isinstance(res, ray.data.Dataset):
-            res.to_pandas()  # consume fully
+            # consume fully WITHOUT driver materialization: stream batches
+            # through and drop them (results range from 1 row to the whole
+            # exploded span table)
+            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                pass
         out[name] = round(time.time() - t0, 3)
     return out
 

@@ -75,6 +75,23 @@ def hmean_eval(ds, iou_thr: float = 0.5, rounder=round) -> dict:
     )
 
 
+_EXPECTED_CACHE: dict = {}
+
+
+def _expected_index(ref) -> dict:
+    """Per-worker-process memo: resolve the broadcast expected table and
+    build its doc_id -> spans index once, not per batch."""
+    import ray
+
+    key = ref.binary() if hasattr(ref, "binary") else id(ref)
+    idx = _EXPECTED_CACHE.get(key)
+    if idx is None:
+        idx = {r["doc_id"]: r["spans"] for r in ray.get(ref).to_pylist()}
+        _EXPECTED_CACHE.clear()  # one eval corpus per process at a time
+        _EXPECTED_CACHE[key] = idx
+    return idx
+
+
 def hmean_ic13_eval(ds, rounder=round) -> dict:
     """Dataset with per-image (pred_polys, gt_polys[, gt_ignored_polys])
     list<list<float>> columns -> ICDAR2013 recall/precision/hmean
@@ -111,12 +128,17 @@ def hmean_ic13_eval(ds, rounder=round) -> dict:
 
 def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
     """End-to-end accuracy of the extraction pipeline vs the golden corpus:
-    per-doc span-sequence equality rate + media-span OCR exact-match rate."""
-    exp = {
-        r["doc_id"]: r["spans"] for r in expected_tbl.to_pylist()
-    }
+    per-doc span-sequence equality rate + media-span OCR exact-match rate.
 
-    def partials(batch: pa.Table) -> pa.Table:
+    The expected table is ``ray.put`` ONCE (zero-copy Arrow from plasma in
+    every task) instead of shipping a Python dict in the task closure; each
+    worker builds its doc_id index once (module-level memo)."""
+    import ray
+
+    exp_ref = ray.put(expected_tbl)
+
+    def partials(batch: pa.Table, _ref=exp_ref) -> pa.Table:
+        exp = _expected_index(_ref)
         n = eq = media = media_ok = 0
         for r in batch.to_pylist():
             want = exp.get(r["doc_id"])
@@ -155,7 +177,7 @@ def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
     }
 
 
-def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5) -> dict:
+def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5, rounder=round) -> dict:
     """Best-over-threshold hmean sweep (``mmocr/core/evaluation/hmean.py:
     76-149``): per threshold, score-filter predicted boundaries then run the
     per-image matching; dataset-level best hmean wins.
@@ -197,7 +219,8 @@ def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5) -> dict:
                 "match": agg["sum(match)"] or 0,
                 "gt": agg["sum(gt)"] or 0,
                 "pred": agg["sum(pred)"] or 0,
-            }
+            },
+            rounder=rounder,
         )
         if m["hmean"] > best["hmean"]:
             best = {**m, "score_thr": thr}

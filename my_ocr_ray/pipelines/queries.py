@@ -706,6 +706,53 @@ def q_hmean_ic13(sf_dir: str):
     )
 
 
+def q_hmean_sweep(sf_dir: str):
+    """Best-over-score-threshold hmean sweep (``mmocr/core/evaluation/
+    hmean.py:76-149``): boundaries carry scores ((doc_id%10)/10 for the
+    shifted box, 0.9 for the exact far box); each of the reference's 0.3-0.9
+    thresholds filters then matches, dataset-best wins.  1-row output
+    (score_thr, recall, precision, hmean)."""
+    from ..functions.geometry import rect_to_quad
+    from ..functions.num import round_away_scalar as _ras
+    from .evaluate import hmean_eval_sweep
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        preds_out, gts_out = [], []
+        for i in ids:
+            i = int(i)
+            s = i % 8
+            far = rect_to_quad(100, 0, 110, 10)
+            preds_out.append(
+                [
+                    rect_to_quad(s, 0, s + 10, 10) + [(i % 10) / 10.0],
+                    far + [0.9],
+                ]
+            )
+            gts_out.append([rect_to_quad(0, 0, 10, 10), far])
+        return pa.Table.from_pydict(
+            {
+                "pred_boundaries": pa.array(
+                    preds_out, pa.list_(pa.list_(pa.float64()))
+                ),
+                "gt_polys": pa.array(gts_out, pa.list_(pa.list_(pa.float64()))),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    m = hmean_eval_sweep(ds, rounder=_ras)
+    return pa.Table.from_pydict(
+        {
+            "score_thr": pa.array([m["score_thr"]], pa.float64()),
+            "recall": pa.array([m["recall"]], pa.float64()),
+            "precision": pa.array([m["precision"]], pa.float64()),
+            "hmean": pa.array([m["hmean"]], pa.float64()),
+        }
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling event-time window aggregate (map-side window key + grouped
     partial aggregation — the streaming-window shape on a batch table)."""

@@ -188,6 +188,48 @@ def read_det_annotations(path: str):
     )
 
 
+GCN_SCHEMA = pa.schema(
+    [
+        ("labels", pa.list_(pa.int32())),
+        ("text_inds", pa.list_(pa.list_(pa.int32()))),
+        ("text_length", pa.list_(pa.int32())),
+        ("norm_boxes", pa.list_(pa.list_(pa.float32()))),
+        ("src", pa.list_(pa.int32())),
+        ("dst", pa.list_(pa.int32())),
+        ("edge_data", pa.list_(pa.list_(pa.float32()))),
+    ]
+)
+
+_GCN_KEYS = tuple(f.name for f in GCN_SCHEMA)
+
+
+def parse_gcn_lines(batch: pa.Table) -> pa.Table:
+    """``LoadGCNAnnotations`` (``mmocr/datasets/pipelines/loading.py:
+    376-385``) as a typed reader: the reference projects the fixed GCN key
+    set out of each sample's ``ann_info`` dict; here each JSON line IS the
+    ann_info and the projection lands in a nested Arrow row — node labels +
+    token indices + graph edges stay columnar for the KIE stages."""
+    rows: dict[str, list] = {k: [] for k in _GCN_KEYS}
+    for line in batch["text"].to_pylist():
+        line = line.strip()
+        if not line:
+            continue
+        obj = json.loads(line)
+        for k in _GCN_KEYS:
+            rows[k].append(obj[k])
+    return pa.Table.from_pydict(rows, schema=GCN_SCHEMA)
+
+
+def read_gcn_annotations(path: str):
+    """line-JSON GCN/KIE annotation file -> Dataset with the reference's
+    seven-key schema."""
+    import ray.data
+
+    return ray.data.read_text(path).map_batches(
+        parse_gcn_lines, batch_format="pyarrow"
+    )
+
+
 def filter_missing_files(ds, root: str, filename_col: str = "filename"):
     """Drop rows whose referenced file does not exist under ``root``
     (``LoaderParsertxt`` semantics)."""

@@ -197,12 +197,12 @@ class OCRStage:
 
     def _image_bytes(self, batch: pa.Table, media_indices: np.ndarray):
         """-> list of bytes-or-None (None = lookup/join miss)."""
+        idx = pa.array(media_indices)
         if "bytes" in batch.column_names:
-            col = batch["bytes"]
-            return [col[int(i)].as_py() for i in media_indices]
+            # one vectorized take instead of per-row __getitem__/as_py
+            return batch["bytes"].combine_chunks().take(idx).to_pylist()
         assert self.media is not None, "no bytes column and no media lookup"
-        refs = batch["media_ref"].combine_chunks()
-        queries = [refs[int(i)].as_py() for i in media_indices]
+        queries = batch["media_ref"].combine_chunks().take(idx).to_pylist()
         if isinstance(self.media, _MediaTableLookup):
             found = self.media.lookup_many(queries)
         elif self.on_error == "skip":

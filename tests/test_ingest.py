@@ -37,3 +37,43 @@ def test_ingest_recog_dataset(ray_session, tmp_path):
     x0, y0, x1, y1 = int(boxes[0][0]), int(boxes[0][1]), int(boxes[0][4]), int(boxes[0][5])
     text, _ = recognize_word(img[y0:y1, x0:x1], scale=2)
     assert text == "HELLO"
+
+
+def test_ingest_det_dataset_icdar(ray_session, tmp_path):
+    """End-to-end det converter job: images + gt_*.txt -> DET parquet
+    (icdar_converter.py semantics: ### -> iscrowd, XYWH envelope bbox)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from my_ocr_ray.functions.imaging import png_encode
+    from my_ocr_ray.pipelines.ingest import ingest_det_dataset
+
+    img_dir = tmp_path / "imgs"; gt_dir = tmp_path / "gts"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir(); gt_dir.mkdir()
+    img = (np.ones((20, 30)) * 255).astype(np.uint8)
+    for stem in ("a", "b"):
+        (img_dir / f"{stem}.png").write_bytes(png_encode(img))
+    (gt_dir / "gt_a.txt").write_text(
+        "0,0,10,0,10,5,0,5,hello\n2,2,8,2,8,9,2,9,###\n"
+    )
+    (gt_dir / "gt_b.txt").write_text("1,1,4,1,4,4,1,4,x\n")
+    n = ingest_det_dataset(str(img_dir), str(gt_dir), str(out_dir),
+                           fmt="icdar2015")
+    assert n == 2
+    t = pads.dataset(str(out_dir), format="parquet").to_table().sort_by("file_name")
+    assert t["file_name"].to_pylist() == ["a.png", "b.png"]
+    assert t["width"].to_pylist() == [30, 30] and t["height"].to_pylist() == [20, 20]
+    anns_a = t["annotations"][0].as_py()
+    assert [a["iscrowd"] for a in anns_a] == [0, 1]
+    assert anns_a[0]["bbox"] == [0.0, 0.0, 10.0, 5.0]
+    assert anns_a[0]["segmentation"] == [[0, 0, 10, 0, 10, 5, 0, 5]]
+
+
+def test_ingest_det_dataset_ctw1500_line():
+    from my_ocr_ray.pipelines.ingest import parse_ctw1500_gt_line
+
+    coords = ",".join(str(v) for v in range(28))
+    a = parse_ctw1500_gt_line(coords + ",####some text")
+    assert a["iscrowd"] == 0 and len(a["segmentation"][0]) == 28
+    assert a["bbox"] == [0.0, 1.0, 26.0, 26.0]

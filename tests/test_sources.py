@@ -209,3 +209,29 @@ def test_multi_separator_parser_keys_idx_reorder():
     )
     assert out["text"].to_pylist() == ["label"]
     assert out["filename"].to_pylist() == ["x"]
+
+
+def test_gcn_annotation_parser():
+    """LoadGCNAnnotations key projection (loading.py:376-385) into the
+    typed nested schema."""
+    import json
+
+    import pyarrow as pa
+
+    from my_ocr_ray.sources.lines import GCN_SCHEMA, parse_gcn_lines
+
+    ann = {
+        "labels": [0, 1],
+        "text_inds": [[3, 4], [5]],
+        "text_length": [2, 1],
+        "norm_boxes": [[0.1, 0.2, 0.3, 0.4], [0.5, 0.6, 0.7, 0.8]],
+        "src": [0],
+        "dst": [1],
+        "edge_data": [[0.9]],
+    }
+    batch = pa.table({"text": [json.dumps(ann), ""]})
+    out = parse_gcn_lines(batch)
+    assert out.schema == GCN_SCHEMA and out.num_rows == 1
+    assert out["labels"].to_pylist() == [[0, 1]]
+    assert out["text_inds"].to_pylist() == [[[3, 4], [5]]]
+    assert out["edge_data"][0].as_py() == [[pytest.approx(0.9)]]
