@@ -101,6 +101,85 @@ def brute_force_topk(emb_ds, queries_ref, k: int = 5):
     )
 
 
+def train_ivf_centroids(
+    emb_ds, n_centroids: int, n_iters: int = 5, seed_rows: int | None = None
+):
+    """Distributed Lloyd k-means for the IVF coarse quantizer.
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``, every batch computes per-centroid partial (sum, count), a
+    tiny ``groupby(cell)`` merges C partial rows per block — the corpus
+    never leaves the tasks and shuffle volume is O(C x blocks x D).
+    Initialization is the first ``n_centroids`` rows (deterministic);
+    empty cells keep their previous centroid.
+    """
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    if seed_rows is None:
+        seed_rows = n_centroids
+    seed = emb_ds.limit(seed_rows).take_all()
+    cents = np.stack([np.asarray(r["embedding"]) for r in seed])[:n_centroids]
+    cents = cents.astype(np.float64)
+    dim = cents.shape[1]
+
+    for _ in range(n_iters):
+        cref = ray.put(_unit(cents))
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            cmat = ray.get(_cref)
+            vecs = _batch_vectors(batch).astype(np.float64)
+            cells = (_unit(vecs) @ cmat.T).argmax(axis=1).astype(np.int64)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            sums = np.zeros((len(uniq), vecs.shape[1]))
+            np.add.at(sums, inv, vecs)
+            cnt = np.bincount(inv)
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(uniq, pa.int64()),
+                    "vsum": pa.array([list(v) for v in sums],
+                                     pa.list_(pa.float64())),
+                    "n": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        def sum_vecs(group: pa.Table) -> pa.Table:
+            cells = group["cell"].to_numpy(zero_copy_only=False)
+            sums = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in group["vsum"].to_pylist()]
+            )
+            ns = group["n"].to_numpy(zero_copy_only=False)
+            out_c, out_v, out_n = [], [], []
+            for c in np.unique(cells):
+                m = cells == c
+                out_c.append(int(c))
+                out_v.append(list(sums[m].sum(axis=0)))
+                out_n.append(int(ns[m].sum()))
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(out_c, pa.int64()),
+                    "vsum": pa.array(out_v, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        rows = (
+            emb_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(sum_vecs, batch_format="pyarrow")
+            .take_all()
+        )  # at most n_centroids tiny rows
+        new = cents.copy()
+        for r in rows:
+            new[r["cell"]] = np.asarray(r["vsum"], dtype=np.float64) / max(
+                r["n"], 1
+            )
+        cents = new
+    assert cents.shape == (n_centroids, dim)
+    return cents
+
+
 def ivf_topk(emb_ds, queries_ref, centroids: np.ndarray, k: int = 5, nprobe: int = 4):
     """IVF variant: probe only the ``nprobe`` cells nearest to each query.
 

@@ -72,13 +72,20 @@ def _merge_runs(runs: list[tuple[int, int]], max_gap: int) -> list[tuple[int, in
     return merged
 
 
-def detect_word_boxes(img: np.ndarray, scale: int = 2) -> list[list[float]]:
+def detect_word_boxes(
+    img: np.ndarray, scale: int = 2, max_candidates: int | None = None
+) -> list[list[float]]:
     """Detect word-level quads. Returns ``[x1,y1,...,x4,y4,score]`` rows.
 
     Projection-profile two-stage segmentation: ink rows -> text lines; within
     a line, ink-column runs merged with gap <= 5*scale -> words.  Score is the
     ink density inside the box (all-equal-density ties are resolved by stable
     top-down left-right emission order).
+
+    ``max_candidates`` caps emission in detection order, mirroring the DB
+    postprocessor's contour cap (``mmocr/models/textdet/postprocess/
+    wrapper.py:189-193``: ``for i in range(min(len(contours),
+    max_candidates))``).
     """
     ink = binarize(img)
     word_gap = 5 * scale
@@ -87,6 +94,8 @@ def detect_word_boxes(img: np.ndarray, scale: int = 2) -> list[list[float]]:
         band = ink[y0:y1]
         col_runs = _merge_runs(_runs(band.any(axis=0)), word_gap)
         for x0, x1 in col_runs:
+            if max_candidates is not None and len(out) >= max_candidates:
+                return out
             box = band[:, x0:x1]
             score = float(box.mean())
             out.append(rect_to_quad(x0, y0, x1, y1) + [round(score, 6)])

@@ -193,32 +193,45 @@ def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5, rounder=round) -
     if score_thrs is None:
         score_thrs = [round(t, 1) for t in np.arange(0.3, 0.95, 0.1)]
 
-    def counts_at(thr):
-        def fn(batch: pa.Table) -> pa.Table:
-            cols = {"match": [], "gt": [], "pred": []}
-            for preds, gts in zip(
-                batch["pred_boundaries"].to_pylist(), batch["gt_polys"].to_pylist()
-            ):
+    thrs = list(score_thrs)
+
+    def counts_all(batch: pa.Table) -> pa.Table:
+        # ONE pass over the data: each image emits one count row per
+        # threshold (the reference re-filters per threshold too, but reads
+        # the result lists once — here the single read/derive is the
+        # expensive part, matching is per-image cheap)
+        cols = {"thr": [], "match": [], "gt": [], "pred": []}
+        for preds, gts in zip(
+            batch["pred_boundaries"].to_pylist(), batch["gt_polys"].to_pylist()
+        ):
+            for thr in thrs:
                 kept = [b[:-1] for b in filter_boundaries_by_score(preds, thr)]
                 c = hmean_iou_row_counts(kept, gts, iou_thr)
-                for k in cols:
-                    cols[k].append(c[k])
-            return pa.Table.from_pydict(cols)
-
-        return fn
+                cols["thr"].append(thr)
+                cols["match"].append(c["match"])
+                cols["gt"].append(c["gt"])
+                cols["pred"].append(c["pred"])
+        return pa.Table.from_pydict(cols)
 
     from ray.data.aggregate import Sum
 
+    agg = (
+        ds.map_batches(counts_all, batch_format="pyarrow")
+        .groupby("thr")
+        .aggregate(Sum("match"), Sum("gt"), Sum("pred"))
+        .take_all()
+    )  # one tiny row per threshold
+    by_thr = {r["thr"]: r for r in agg}
     best = {"hmean": -1.0}
-    for thr in score_thrs:
-        agg = ds.map_batches(counts_at(thr), batch_format="pyarrow").aggregate(
-            Sum("match"), Sum("gt"), Sum("pred")
-        )
+    for thr in thrs:  # ascending: first max wins (reference tie-break)
+        r = by_thr.get(thr)
+        if r is None:
+            continue
         m = hmean_finalize(
             {
-                "match": agg["sum(match)"] or 0,
-                "gt": agg["sum(gt)"] or 0,
-                "pred": agg["sum(pred)"] or 0,
+                "match": r["sum(match)"] or 0,
+                "gt": r["sum(gt)"] or 0,
+                "pred": r["sum(pred)"] or 0,
             },
             rounder=rounder,
         )

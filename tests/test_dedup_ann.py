@@ -180,3 +180,45 @@ def test_embedding_lsh_second_band_rescues_straddler(ray_session):
     ).take_all()
     assert (0, 1) not in {(r["vec_a"], r["vec_b"]) for r in one_band}
     assert (0, 1) in {(r["vec_a"], r["vec_b"]) for r in two_band}
+
+
+def test_train_ivf_centroids_improves_quantization(ray_session):
+    """Distributed Lloyd iterations must reduce quantization error vs the
+    raw seed centroids, and assignment must stabilize on a separable set."""
+    import ray.data
+
+    from my_ocr_ray.ann import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    # 3 well-separated clusters of 60 vectors
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], float)
+    vecs = np.vstack(
+        [c + rng.normal(scale=0.3, size=(60, 4)) for c in centers]
+    ).astype(np.float32)
+    order = rng.permutation(len(vecs))
+    vecs = vecs[order]
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    trained = train_ivf_centroids(ds, n_centroids=3, n_iters=5)
+
+    def inertia(cents):
+        u = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-9)[:, None]
+        v = vecs.astype(np.float64)
+        vu = v / np.linalg.norm(v, axis=1)[:, None]
+        assign = (vu @ u.T).argmax(axis=1)
+        return float(((v - cents[assign]) ** 2).sum())
+
+    seed = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in ds.limit(3).take_all()])
+    assert inertia(trained) < inertia(seed)
+    # each trained centroid should sit near one true center (cosine > 0.95)
+    tu = trained / np.linalg.norm(trained, axis=1)[:, None]
+    cu = centers / np.linalg.norm(centers, axis=1)[:, None]
+    best = (tu @ cu.T).max(axis=1)
+    assert (best > 0.95).all()

@@ -67,3 +67,18 @@ def test_detection_scores_are_densities():
     img = render_text_image(["A"], 2)
     boxes = detect_word_boxes(img, scale=2)
     assert len(boxes) == 1 and 0.0 < boxes[0][-1] <= 1.0
+
+
+def test_detect_word_boxes_max_candidates():
+    """DB postprocessor contour cap (wrapper.py:189-193): emission stops at
+    max_candidates in detection order."""
+    import numpy as np
+
+    from my_ocr_ray.functions.imaging import render_text_image
+    from my_ocr_ray.functions.ocr import detect_word_boxes
+
+    img = render_text_image(["AA BB CC", "DD EE"], scale=2)
+    all_boxes = detect_word_boxes(img, scale=2)
+    assert len(all_boxes) == 5
+    capped = detect_word_boxes(img, scale=2, max_candidates=3)
+    assert capped == all_boxes[:3]
