@@ -118,6 +118,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": Q.q_embedding_centroids,
         "ann_topk": Q.q_ann_topk,
         "ann_ivf": Q.q_ann_ivf,
+        # corpus family (round 2)
+        "ngram_topk": Q.q_ngram_topk,
+        "decontaminate": Q.q_decontaminate,
+        "repetition": Q.q_repetition,
+        "tfidf": Q.q_tfidf,
+        "hash_sample": Q.q_hash_sample,
+        # relational family (round 2)
+        "asof_join": Q.q_asof_join,
+        "group_topk": Q.q_group_topk,
+        "len_quantiles": Q.q_len_quantiles,
     }
 
 
@@ -444,6 +454,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                lpad(lower(to_hex(coalesce(v.sh, 0))), 16, '0') AS simhash
         FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+        """,
+        "ngram_topk": r"""
+        WITH t AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+        g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+              FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS u(i))
+        SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+        ORDER BY cnt DESC, ngram LIMIT 20
+        """,
+        "decontaminate": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                             || toks[i+3] || ' ' || toks[i+4] AS ngram
+              FROM t, UNNEST(generate_series(1, greatest(len(toks)-4, 0))) AS u(i)),
+        dg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 97 <> 0),
+        ev AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0)
+        SELECT d.doc_id,
+               CAST(count(ev.ngram) AS BIGINT) AS n_overlap,
+               count(ev.ngram) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        LEFT JOIN dg ON d.doc_id = dg.doc_id
+        LEFT JOIN ev ON dg.ngram = ev.ngram
+        GROUP BY d.doc_id
+        """,
+        "repetition": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS ngram
+              FROM t, UNNEST(generate_series(1, greatest(len(toks)-1, 0))) AS u(i)),
+        c AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY doc_id, ngram),
+        a AS (SELECT doc_id, sum(c) AS tot, count(*) AS dis, max(c) AS mx
+              FROM c GROUP BY doc_id)
+        SELECT d.doc_id,
+          round(CAST(coalesce(a.tot, 0) - coalesce(a.dis, 0) AS DOUBLE)
+                / greatest(coalesce(a.tot, 0), 1), 6) AS dup_frac,
+          round(CAST(coalesce(a.mx, 0) AS DOUBLE)
+                / greatest(coalesce(a.tot, 0), 1), 6) AS top_frac
+        FROM documents d LEFT JOIN a USING (doc_id)
+        """,
+        "tfidf": r"""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT t.doc_id, avg(ln((n.n + 1.0) / (df.df + 1.0))) AS m
+              FROM t JOIN df USING (tok) CROSS JOIN n GROUP BY t.doc_id)
+        SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS mean_idf
+        FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "hash_sample": """
+        WITH b AS (SELECT doc_id, lang, source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10 AS bucket
+          FROM documents)
+        SELECT doc_id, lang, source, bucket FROM b WHERE bucket < 3
+        """,
+        "asof_join": """
+        WITH l AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events WHERE event_type = 'view'),
+        j AS (SELECT l.event_id, l.user_id, l.ts_us,
+                     r.event_id AS matched_id, r.ts_us AS matched_ts_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                        ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us)
+        SELECT event_id, user_id, ts_us, matched_id, matched_ts_us,
+               ts_us - matched_ts_us AS gap_us
+        FROM j WHERE rn = 1
+        """,
+        "group_topk": """
+        WITH r AS (SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+        """,
+        "len_quantiles": """
+        SELECT lang, count(*) AS n,
+               quantile_disc(n_chars, 0.5) AS p50,
+               quantile_disc(n_chars, 0.9) AS p90
+        FROM documents GROUP BY lang
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

@@ -1,0 +1,353 @@
+"""Corpus-level text operators for training-data pipelines.
+
+Extends the dedup/analysis families (``dedup.py``, ``analysis.py``) with the
+corpus statistics a 100-TB curation run needs: global n-gram counts,
+eval-set decontamination, Gopher-style per-document repetition signals,
+TF-IDF rarity scoring and deterministic hash-stratified sampling.
+
+Scale notes (per operator docstrings): everything is map-side vectorized
+over Arrow batches; the only shuffles are tiny pre-aggregated exchanges
+(n-gram partial counts, token document frequencies). Broadcast sides
+(eval-set n-grams, the DF vocabulary) are assumed small relative to the
+corpus and shipped once via ``ray.put``.
+
+Every kernel has an exactly-equivalent DuckDB formulation in
+``__ray_entry__.oracle_sql`` — hence ``\\S+`` tokenization, md5 hashing and
+explicit rounding, as in ``functions/textproc.py``.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# vectorized n-gram machinery
+# ---------------------------------------------------------------------------
+
+
+def flat_tokens(texts: pa.ChunkedArray | pa.Array):
+    """(flat arrow token array, int64 row id per token, n_rows).
+
+    ``utf8_split_whitespace`` + empty-token filter == SQL
+    ``regexp_extract_all(text, '\\S+')``; fully vectorized.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tl = pc.utf8_split_whitespace(texts)
+    lens = np.asarray(pc.list_value_length(tl).fill_null(0), dtype=np.int64)
+    flat = pc.list_flatten(tl)
+    row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "")
+    np_mask = np.asarray(mask, dtype=bool)
+    if not np_mask.all():
+        flat = flat.filter(mask)
+        row_ids = row_ids[np_mask]
+    return flat, row_ids, len(texts)
+
+
+def flat_ngrams(texts, n: int):
+    """(flat arrow n-gram array (space-joined), int64 row id per n-gram,
+    n_rows). Zero-copy token slices + one vectorized element-wise join;
+    n-grams never cross a document boundary. Rows with < n tokens emit
+    nothing (SQL: ``generate_series(1, greatest(len(toks)-n+1, 0))``)."""
+    flat, row_ids, n_rows = flat_tokens(texts)
+    total = len(flat)
+    if n == 1:
+        return flat, row_ids, n_rows
+    m = total - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64), n_rows
+    parts = [flat.slice(j, m) for j in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    valid = row_ids[:m] == row_ids[n - 1 :]
+    if valid.all():
+        return joined, row_ids[:m], n_rows
+    return joined.filter(pa.array(valid)), row_ids[:m][valid], n_rows
+
+
+# ---------------------------------------------------------------------------
+# corpus top-k n-grams
+# ---------------------------------------------------------------------------
+
+
+def ngram_count_partial(batch: pa.Table, n: int) -> pa.Table:
+    """Per-batch partial n-gram counts — the map-side combiner that keeps
+    the global groupby exchange tiny (one row per distinct n-gram per
+    block, not one per occurrence)."""
+    grams, _, _ = flat_ngrams(batch["text"], n)
+    if len(grams) == 0:
+        return pa.Table.from_pydict(
+            {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    vc = grams.value_counts()
+    return pa.Table.from_pydict(
+        {"ngram": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def ngram_topk(docs_ds, n: int = 3, k: int = 20):
+    """Corpus-wide top-k n-grams by count (ties broken by n-gram text).
+
+    Shape: vectorized partial counts -> small groupby-sum -> global
+    sort+limit over one row per distinct n-gram. At 100 TB the exchange
+    carries distinct-gram partials only; a heavy-hitter sketch would cut
+    it further but exact counts stay feasible while distinct n-grams fit
+    the aggregate stage.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = docs_ds.map_batches(
+        lambda b, n=n: ngram_count_partial(b, n), batch_format="pyarrow"
+    )
+    agg = partial.groupby("ngram").aggregate(Sum("cnt"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["ngram"], pc.cast(batch["sum(cnt)"], pa.int64())],
+            names=["ngram", "cnt"],
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def eval_ngram_set(docs_ds, eval_mod: int, n: int):
+    """Distinct n-grams of the held-out eval slice (doc_id % eval_mod == 0)
+    as a driver-side frozenset. The eval set is small BY CONSTRUCTION
+    (benchmark suites are MBs, not TBs) — collecting its distinct grams is
+    the broadcast-small-side pattern, not a driver materialization of the
+    corpus."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod == 0))
+        grams, _, _ = flat_ngrams(sub["text"], n)
+        if len(grams):
+            grams = grams.unique()
+        return pa.Table.from_pydict({"ngram": grams})
+
+    grams = docs_ds.map_batches(eval_grams, batch_format="pyarrow").unique("ngram")
+    return frozenset(grams)
+
+
+def decontaminate(docs_ds, eval_mod: int = 97, n: int = 5):
+    """Flag training docs sharing any word n-gram with the eval slice
+    (the standard n-gram decontamination pass, e.g. GPT-3 appendix C /
+    Gopher appendix: 13-gram overlap; n is a parameter).
+
+    Output: (doc_id, n_overlap, contaminated) for every doc NOT in the
+    eval slice, where n_overlap = count of the doc's DISTINCT n-grams
+    that appear in the eval slice. Eval grams broadcast once via
+    ``ray.put``; the scan is one map-side vectorized pass.
+    """
+    import ray
+
+    ev_ref = ray.put(eval_ngram_set(docs_ds, eval_mod, n))
+
+    def score(batch: pa.Table, ev_ref=ev_ref) -> pa.Table:
+        ev = ray.get(ev_ref) if isinstance(ev_ref, ray.ObjectRef) else ev_ref
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod != 0))
+        grams, row_ids, n_rows = flat_ngrams(sub["text"], n)
+        overlap = np.zeros(n_rows, dtype=np.int64)
+        if len(grams):
+            garr = np.asarray(grams.to_pylist(), dtype=object)
+            hit = np.fromiter((g in ev for g in garr), bool, len(garr))
+            if hit.any():
+                # distinct (row, gram) among hits only — the hit set is tiny
+                hit_rows = row_ids[hit]
+                hit_grams = garr[hit]
+                seen = set()
+                for r, g in zip(hit_rows, hit_grams):
+                    seen.add((int(r), g))
+                for r, _ in seen:
+                    overlap[r] += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub["doc_id"],
+                "n_overlap": pa.array(overlap, pa.int64()),
+                "contaminated": pa.array(overlap > 0),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-document repetition signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(batch: pa.Table, n: int = 2) -> pa.Table:
+    """Per-doc duplicate-n-gram fraction and top-n-gram fraction
+    (Gopher repetition filters, Rae et al. 2021 table A1): with per-doc
+    n-gram multiset of size T and D distinct values with max count M,
+    dup_frac = (T-D)/T, top_frac = M/T (0 when T == 0). Fully vectorized:
+    global factorize + per-(row,gram) unique + segment reductions."""
+    grams, row_ids, n_rows = flat_ngrams(batch["text"], n)
+    tot = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+    dis = np.zeros(n_rows, dtype=np.int64)
+    mx = np.zeros(n_rows, dtype=np.int64)
+    if len(grams):
+        codes = np.asarray(grams.dictionary_encode().indices, dtype=np.int64)
+        n_codes = codes.max() + 1
+        key = row_ids * n_codes + codes
+        uniq_key, counts = np.unique(key, return_counts=True)
+        uniq_rows = uniq_key // n_codes
+        dis = np.bincount(uniq_rows, minlength=n_rows).astype(np.int64)
+        # np.unique sorts keys, so uniq_rows is nondecreasing: segment max
+        starts = np.flatnonzero(
+            np.concatenate(([True], uniq_rows[1:] != uniq_rows[:-1]))
+        )
+        seg_max = np.maximum.reduceat(counts, starts)
+        mx[uniq_rows[starts]] = seg_max
+    denom = np.maximum(tot, 1).astype(np.float64)
+    dup = np.round((tot - dis) / denom, 6)
+    top = np.round(mx / denom, 6)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_frac": pa.array(dup, pa.float64()),
+            "top_frac": pa.array(top, pa.float64()),
+        }
+    )
+
+
+def repetition(docs_ds, n: int = 2):
+    """Per-doc repetition signals; pure map-side, no shuffle."""
+    return docs_ds.map_batches(
+        lambda b, n=n: repetition_batch(b, n), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF rarity scoring
+# ---------------------------------------------------------------------------
+
+
+def document_frequencies(docs_ds):
+    """(token -> document frequency) over the corpus: per-batch distinct
+    (row, token) partials -> small groupby-sum. The DF table is
+    vocabulary-sized (≪ corpus); at 100 TB with an unbounded vocabulary
+    switch the consumer to a hash join on token instead of the broadcast."""
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, row_ids, _ = flat_tokens(batch["text"])
+        if len(toks) == 0:
+            return pa.Table.from_pydict(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        denc = toks.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        uniq_vals = denc.dictionary
+        n_codes = len(uniq_vals)
+        key = np.unique(row_ids * n_codes + codes)
+        per_tok = np.bincount(key % n_codes, minlength=n_codes).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"token": uniq_vals, "df": pa.array(per_tok, pa.int64())}
+        )
+
+    agg = docs_ds.map_batches(df_partial, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Sum("df"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["token"], pc.cast(batch["sum(df)"], pa.int64())],
+            names=["token", "df"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_scores(docs_ds, n_docs: int | None = None):
+    """Per-doc mean IDF over token occurrences: mean of
+    ln((N+1)/(df+1)); 0.0 for empty docs. DF table broadcast once via
+    ``ray.put`` (vocabulary-sized), scored in one vectorized map pass.
+    """
+    import ray
+
+    if n_docs is None:
+        n_docs = docs_ds.count()  # parquet metadata count, no scan
+    df_pd = document_frequencies(docs_ds).to_pandas()  # vocabulary-sized
+    idf = {
+        t: np.log((n_docs + 1.0) / (d + 1.0))
+        for t, d in zip(df_pd["token"], df_pd["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table, idf_ref=idf_ref) -> pa.Table:
+        idf_map = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        toks, row_ids, n_rows = flat_tokens(batch["text"])
+        out = np.zeros(n_rows, dtype=np.float64)
+        if len(toks):
+            denc = toks.dictionary_encode()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            lut = np.array(
+                [idf_map.get(t, 0.0) for t in denc.dictionary.to_pylist()],
+                dtype=np.float64,
+            )
+            vals = lut[codes]
+            tot = np.bincount(row_ids, minlength=n_rows)
+            sums = np.bincount(row_ids, weights=vals, minlength=n_rows)
+            nz = tot > 0
+            out[nz] = sums[nz] / tot[nz]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "mean_idf": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(docs_ds, buckets: int = 10, keep: int = 3):
+    """Deterministic hash sample: keep rows whose md5-of-doc_id bucket is
+    < ``keep`` of ``buckets``. Reproducible across runs/cluster sizes and
+    pure map-side — the right way to subsample 100 TB (no random state,
+    no shuffle, resumable). Bucket = first 60 bits of md5(str(doc_id))
+    mod buckets (SQL: ``('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+    :: BIGINT % buckets``)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.fromiter(
+            (
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(int(i)).encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                )
+                % buckets
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keep_mask = pa.array(b < keep)
+        sub = batch.filter(keep_mask)
+        return sub.append_column(
+            "bucket", pa.array(b[b < keep], pa.int64())
+        )
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow")

@@ -864,3 +864,96 @@ def q_orders_join(sf_dir: str):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus family (round 2): n-gram stats, decontamination, repetition,
+# TF-IDF, deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_topk(sf_dir: str):
+    """Corpus top-20 word trigrams (map-side partial counts -> tiny
+    groupby-sum -> global sort+limit)."""
+    from ..corpus import ngram_topk
+
+    return ngram_topk(_read(sf_dir, "documents", ["text"]), n=3, k=20)
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set n-gram decontamination: flag training docs sharing any
+    5-gram with the doc_id%97==0 eval slice (broadcast eval-gram set)."""
+    from ..corpus import decontaminate
+
+    return decontaminate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), eval_mod=97, n=5
+    )
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style per-doc duplicate/top 2-gram fractions (pure map)."""
+    from ..corpus import repetition
+
+    return repetition(_read(sf_dir, "documents", ["doc_id", "text"]), n=2)
+
+
+def q_tfidf(sf_dir: str):
+    """Per-doc mean IDF: distributed document frequencies -> broadcast
+    vocabulary -> vectorized scoring pass."""
+    from ..corpus import tfidf_scores
+
+    return tfidf_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic md5-bucket sample (keep 3 of 10 buckets) — the
+    reproducible, shuffle-free way to subsample at scale."""
+    from ..corpus import hash_sample
+
+    return hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"]), buckets=10, keep=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational family (round 2): as-of join, grouped top-k, exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(sf_dir: str):
+    """click ASOF JOIN view per user (inner, ties broken by max event_id):
+    one hash exchange on user_id + vectorized per-group merge."""
+    from ..relational import asof_join_events
+
+    return asof_join_events(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        left_type="click",
+        right_type="view",
+    )
+
+
+def q_group_topk(sf_dir: str):
+    """Per-language top-3 docs by n_chars (partial top-k per block before
+    the exchange)."""
+    from ..relational import group_topk
+
+    return group_topk(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        group_key="lang",
+        sort_key="n_chars",
+        tie_key="doc_id",
+        k=3,
+    )
+
+
+def q_len_quantiles(sf_dir: str):
+    """Exact per-language p50/p90 of n_chars via distributed histogram
+    (no global sort; matches DuckDB quantile_disc)."""
+    from ..relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        group_key="lang",
+        value_key="n_chars",
+        qs=(0.5, 0.9),
+    )

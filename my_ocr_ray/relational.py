@@ -1,0 +1,164 @@
+"""Relational operators Ray Data lacks natively: as-of join, grouped
+top-k, exact grouped discrete quantiles.
+
+Each documents the partitioning assumption it relies on (SURVEY §2 custom-
+operator rule): as-of join co-locates by the equality key (one hash
+exchange); grouped top-k and quantiles pre-reduce map-side so the exchange
+carries partials, not rows.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join_events(
+    events_ds,
+    left_type: str = "click",
+    right_type: str = "view",
+):
+    """For each left-type event, the most recent right-type event of the
+    same user at or before it (``ASOF JOIN ... ON l.user_id = r.user_id
+    AND l.ts >= r.ts``, inner semantics: unmatched left rows drop).
+
+    Shape: filter both sides map-side, tag, union, ONE hash exchange on
+    user_id, then a vectorized merge per group (sort + forward-fill of the
+    last right index). Timestamps stay integer microseconds — exact.
+    Partitioning assumption: all events of a user fit one group; hot users
+    would need the coarse-time-bucket split used by ``sessionize_salted``.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        sub = batch.filter(keep)
+        side = pc.equal(sub["event_type"], left_type)  # True == left
+        ts_us = pc.cast(sub["ts"], pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "event_id": sub["event_id"],
+                "user_id": sub["user_id"],
+                "ts_us": ts_us,
+                "is_left": side,
+            }
+        )
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        is_left = group["is_left"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        # rights sort before lefts at equal ts so l.ts >= r.ts matches
+        order = np.lexsort((is_left, ts))
+        ts_s, left_s, eid_s = ts[order], is_left[order], eid[order]
+        idx = np.arange(len(ts_s))
+        last_right = np.where(~left_s, idx, -1)
+        last_right = np.maximum.accumulate(last_right)
+        lmask = left_s & (last_right >= 0)
+        r_idx = last_right[lmask]
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid_s[lmask], pa.int64()),
+                "user_id": pa.array(uid[order][lmask], pa.int64()),
+                "ts_us": pa.array(ts_s[lmask], pa.int64()),
+                "matched_id": pa.array(eid_s[r_idx], pa.int64()),
+                "matched_ts_us": pa.array(ts_s[r_idx], pa.int64()),
+                "gap_us": pa.array(ts_s[lmask] - ts_s[r_idx], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def group_topk(
+    ds,
+    group_key: str,
+    sort_key: str,
+    tie_key: str,
+    k: int = 3,
+):
+    """Per-group top-k rows by (sort_key desc, tie_key asc) with a dense
+    1-based rank. Map-side partial top-k per (block, group) first, so the
+    exchange moves at most k rows per group per block — never the corpus.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_key].to_numpy(zero_copy_only=False)
+        s = batch[sort_key].to_numpy(zero_copy_only=False)
+        t = batch[tie_key].to_numpy(zero_copy_only=False)
+        # sort: group, then sort_key desc, tie asc
+        order = np.lexsort((t, -s, g))
+        g_s = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], g_s[1:] != g_s[:-1])))
+        pos = np.arange(len(g_s)) - np.repeat(starts, np.diff(np.append(starts, len(g_s))))
+        keep = order[pos < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    def final(group: pa.Table) -> pa.Table:
+        s = group[sort_key].to_numpy(zero_copy_only=False)
+        t = group[tie_key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -s))[:k]
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(group_key).map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact grouped discrete quantiles (histogram-based)
+# ---------------------------------------------------------------------------
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """DuckDB ``quantile_disc`` rank (1-based): ceil(q*n) in EXACT decimal
+    arithmetic — a SQL literal like 0.9 is DECIMAL, not DOUBLE, so
+    0.9*70 == 63 exactly (float would give 63.000...007 -> 64). Mirrored
+    with Fraction over the decimal string; verified against DuckDB 1.x
+    across half-boundary and large-n cases."""
+    import math
+    from fractions import Fraction
+
+    return max(1, math.ceil(Fraction(str(q)) * n))
+
+
+def grouped_quantiles(ds, group_key: str, value_key: str, qs=(0.5, 0.9)):
+    """Exact per-group discrete quantiles of an integer-ish column without
+    a global sort: groupby (group, value) count — the ONLY exchange, sized
+    by distinct values per group — then per-group quantiles from the
+    cumulative histogram. Matches DuckDB ``quantile_disc`` exactly."""
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([group_key, value_key]).aggregate(Count())
+
+    def finalize(group: pa.Table) -> pa.Table:
+        v = group[value_key].to_numpy(zero_copy_only=False)
+        c = group["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v_s, c_s = v[order], c[order]
+        cum = np.cumsum(c_s)
+        n = int(cum[-1])
+        cols = {group_key: group[group_key].slice(0, 1), "n": pa.array([n], pa.int64())}
+        for q in qs:
+            rank = _disc_rank(q, n)
+            pos = int(np.searchsorted(cum, rank))
+            label = f"p{int(q * 100)}"
+            cols[label] = pa.array([int(v_s[pos])], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return hist.groupby(group_key).map_groups(finalize, batch_format="pyarrow")

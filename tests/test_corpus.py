@@ -1,0 +1,167 @@
+"""Semantic tests for the corpus family: n-gram machinery, top-k counts,
+decontamination, repetition signals, TF-IDF, hash sampling. The oracles
+prove Ray==SQL; these prove the operators do what they are FOR, on inputs
+with known answers."""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from my_ocr_ray.corpus import (
+    decontaminate,
+    flat_ngrams,
+    flat_tokens,
+    hash_sample,
+    ngram_topk,
+    repetition_batch,
+    tfidf_scores,
+)
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram machinery
+# ---------------------------------------------------------------------------
+
+
+def test_flat_tokens_matches_regex_split():
+    texts = pa.array(["  a b   c ", "", "xy", "   ", "p  q"])
+    flat, rows, n = flat_tokens(texts)
+    assert n == 5
+    assert flat.to_pylist() == ["a", "b", "c", "xy", "p", "q"]
+    assert rows.tolist() == [0, 0, 0, 2, 4, 4]
+
+
+def test_flat_ngrams_no_cross_doc():
+    texts = pa.array(["a b c", "d e", "f"])
+    grams, rows, _ = flat_ngrams(texts, 2)
+    assert grams.to_pylist() == ["a b", "b c", "d e"]
+    assert rows.tolist() == [0, 0, 1]
+    # trigram: only doc 0 qualifies
+    grams3, rows3, _ = flat_ngrams(texts, 3)
+    assert grams3.to_pylist() == ["a b c"]
+    assert rows3.tolist() == [0]
+
+
+def test_flat_ngrams_empty_batch():
+    grams, rows, n = flat_ngrams(pa.array([], pa.string()), 3)
+    assert len(grams) == 0 and len(rows) == 0 and n == 0
+
+
+# ---------------------------------------------------------------------------
+# ngram_topk
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_topk_counts(ray_session):
+    import ray.data
+
+    t = _docs_table(["a b c a b c", "a b x", "z z z"])
+    out = ngram_topk(ray.data.from_arrow(t), n=2, k=3).take_all()
+    # bigrams: "a b" x3 ("a b c a b c" has a-b twice? tokens a b c a b c ->
+    # a-b, b-c, c-a, a-b, b-c -> a b:2, b c:2, c a:1; doc2 a-b:1; z z:2
+    by = {(r["ngram"]): r["cnt"] for r in out}
+    assert by["a b"] == 3
+    assert set(by) == {"a b", "b c", "z z"}  # top-3 by (cnt desc, gram asc)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data
+
+    ev_text = "one two three four five six seven"
+    clean = "alpha beta gamma delta epsilon zeta eta"
+    # doc 0 (0 % 97 == 0) is the eval doc; doc 1 copies a 5-gram window
+    contaminated = "xx one two three four five yy"
+    t = _docs_table([ev_text, contaminated, clean], ids=[0, 1, 2])
+    out = decontaminate(ray.data.from_arrow(t), eval_mod=97, n=5).take_all()
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == {1, 2}  # eval doc excluded from output
+    assert by[1]["contaminated"] and by[1]["n_overlap"] == 1
+    assert not by[2]["contaminated"] and by[2]["n_overlap"] == 0
+
+
+def test_decontaminate_counts_distinct(ray_session):
+    import ray.data
+
+    ev = "a b c d e f"  # grams: "a b c d e", "b c d e f"
+    # repeats the same overlapping gram twice -> distinct count is 1
+    doc = "a b c d e x a b c d e"
+    t = _docs_table([ev, doc], ids=[0, 5])
+    out = decontaminate(ray.data.from_arrow(t), eval_mod=97, n=5).take_all()
+    assert out[0]["doc_id"] == 5 and out[0]["n_overlap"] == 1
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_known_fractions():
+    # doc0: "a b a b a b": bigrams [a b, b a, a b, b a, a b] T=5 D=2 M=3
+    # doc1: all distinct bigrams; doc2: single token -> T=0
+    t = _docs_table(["a b a b a b", "p q r s", "solo"])
+    out = repetition_batch(t, n=2)
+    dup = out["dup_frac"].to_pylist()
+    top = out["top_frac"].to_pylist()
+    assert dup[0] == pytest.approx(3 / 5) and top[0] == pytest.approx(3 / 5)
+    assert dup[1] == 0.0 and top[1] == pytest.approx(1 / 3)
+    assert dup[2] == 0.0 and top[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_token_scores_higher(ray_session):
+    import ray.data
+
+    # "common" in every doc; "rare" in one
+    texts = ["common common", "common rare", "common common common"]
+    t = _docs_table(texts)
+    out = tfidf_scores(ray.data.from_arrow(t), n_docs=3).take_all()
+    by = {r["doc_id"]: r["mean_idf"] for r in out}
+    idf_common = np.log(4.0 / 4.0)  # df=3 -> 0
+    idf_rare = np.log(4.0 / 2.0)
+    assert by[0] == pytest.approx(idf_common, abs=1e-6)
+    assert by[1] == pytest.approx((idf_common + idf_rare) / 2, abs=1e-6)
+    assert by[2] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# hash sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_correct(ray_session):
+    import ray.data
+
+    n = 200
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+        }
+    )
+    out = hash_sample(ray.data.from_arrow(t), buckets=10, keep=3).take_all()
+    kept = {r["doc_id"] for r in out}
+    for i in range(n):
+        b = (
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") >> 4
+        ) % 10
+        assert (i in kept) == (b < 3)
+    # rough rate sanity: md5 is uniform
+    assert 0.15 < len(kept) / n < 0.45

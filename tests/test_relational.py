@@ -1,0 +1,141 @@
+"""Semantic tests for the relational family: as-of join, grouped top-k,
+exact grouped discrete quantiles."""
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from my_ocr_ray.relational import (
+    _disc_rank,
+    asof_join_events,
+    group_topk,
+    grouped_quantiles,
+)
+
+
+def _events_table(rows):
+    return pa.Table.from_pydict(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_asof_join_picks_latest_prior(ray_session):
+    import ray.data
+
+    rows = [
+        # (event_id, t_sec, user, type)
+        (1, 10, 1, "view"),
+        (2, 20, 1, "view"),
+        (3, 25, 1, "click"),   # matches view 2 (t=20)
+        (4, 5, 1, "click"),    # no prior view -> dropped
+        (5, 30, 2, "view"),
+        (6, 30, 2, "click"),   # equal ts matches (l.ts >= r.ts)
+        (7, 40, 3, "click"),   # user 3 has no views -> dropped
+        (8, 50, 1, "purchase"),  # other types ignored
+    ]
+    out = asof_join_events(ray.data.from_arrow(_events_table(rows))).take_all()
+    by = {r["event_id"]: r for r in out}
+    assert set(by) == {3, 6}
+    assert by[3]["matched_id"] == 2 and by[3]["gap_us"] == 5_000_000
+    assert by[6]["matched_id"] == 5 and by[6]["gap_us"] == 0
+
+
+def test_asof_join_tie_breaks_by_max_event_id(ray_session):
+    import ray.data
+
+    rows = [
+        (1, 10, 1, "view"),
+        (2, 10, 1, "view"),  # same ts: max event_id wins
+        (3, 15, 1, "click"),
+    ]
+    out = asof_join_events(ray.data.from_arrow(_events_table(rows))).take_all()
+    assert out[0]["matched_id"] == 2
+
+
+def test_group_topk(ray_session):
+    import ray.data
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "lang": pa.array(["en", "en", "en", "en", "de", "de"]),
+            "n_chars": pa.array([10, 30, 30, 5, 7, 7], pa.int64()),
+        }
+    )
+    out = group_topk(
+        ray.data.from_arrow(t), "lang", "n_chars", "doc_id", k=2
+    ).take_all()
+    got = {(r["lang"], r["rank"]): r["doc_id"] for r in out}
+    # en: 30(doc2) > 30(doc3, tie by doc_id) > 10 ; de: 7(doc5) > 7(doc6)
+    assert got == {("en", 1): 2, ("en", 2): 3, ("de", 1): 5, ("de", 2): 6}
+
+
+def test_group_topk_partial_respects_block_split(ray_session):
+    """Partial top-k per block must not lose the global answer when the
+    best rows land in different blocks."""
+    import ray.data
+
+    n = 400
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1000, n)
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = group_topk(ds, "lang", "n_chars", "doc_id", k=3).take_all()
+    # oracle: pandas
+    import pandas as pd
+
+    pdf = t.to_pandas()
+    expect = {}
+    for lang, g in pdf.groupby("lang"):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        for rank, (_, row) in enumerate(g.iterrows(), 1):
+            expect[(lang, rank)] = row["doc_id"]
+    got = {(r["lang"], r["rank"]): r["doc_id"] for r in out}
+    assert got == expect
+
+
+def test_disc_rank_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for q in (0.25, 0.5, 0.75, 0.9, 0.95):
+        for n in (1, 2, 3, 4, 5, 10, 64, 70, 73, 218):
+            vals = list(range(1, n + 1))
+            got = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest($1::BIGINT[]) AS x)",
+                [vals],
+            ).fetchone()[0]
+            assert got == _disc_rank(q, n), (q, n)
+
+
+def test_grouped_quantiles(ray_session):
+    import ray.data
+
+    t = pa.Table.from_pydict(
+        {
+            "lang": pa.array(["en"] * 10 + ["de"] * 4),
+            "n_chars": pa.array(list(range(1, 11)) + [5, 5, 9, 2], pa.int64()),
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_arrow(t), "lang", "n_chars", qs=(0.5, 0.9)
+    ).take_all()
+    by = {r["lang"]: r for r in out}
+    assert by["en"]["n"] == 10 and by["en"]["p50"] == 5 and by["en"]["p90"] == 9
+    # de sorted: [2,5,5,9]; rank(0.5,4)=2 -> 5; rank(0.9,4)=4 -> 9
+    assert by["de"]["n"] == 4 and by["de"]["p50"] == 5 and by["de"]["p90"] == 9
