@@ -22,9 +22,27 @@ SPAN_TOKENS = 8
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned parquet read with data-scaled block count.
+
+    Ray's default parallelism targets ~2x CPUs regardless of size, so a
+    0.6 MB table becomes 64 micro-blocks and every downstream exchange
+    pays ~5s of pure task scheduling (measured). Scale blocks with FILE
+    BYTES instead (~8 MB compressed per block, capped at 2x CPUs): tiny
+    tables run in a handful of tasks, a 100-TB table still fans out to
+    thousands — partitioning tracks data volume, the round-1 scaling
+    lesson (DESIGN.md §5b) applied to the read."""
+    import os
+
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    nbytes = os.path.getsize(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = int(max(1, min(cpus * 2, nbytes // (8 << 20) + 1)))
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=blocks
+    )
 
 
 # ---------------------------------------------------------------------------

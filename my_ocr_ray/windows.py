@@ -102,15 +102,43 @@ def _sessions_for_group(group: pa.Table, gap_sec: int) -> pa.Table:
     )
 
 
+def _hash_parts(ds, keys, num_partitions: int | None = None,
+                aggregator_cpu_budget: float = 4.0):
+    """Hash-repartition by key (co-locates each key in ONE block) so the
+    multi-key vectorized kernels run once per block via ``map_batches``
+    instead of once per group via ``map_groups`` — at ~100k (user, bucket)
+    groups the per-group Python dispatch alone costs minutes (measured
+    181s single-block vs 1.4s here)."""
+    import ray
+
+    from .stages.reassemble import _configure_hash_shuffle
+
+    if num_partitions is None:
+        # default sized for the bench tables (~100k rows): each hash
+        # partition costs an aggregator ACTOR, and startup scales with the
+        # pool (measured: 32 partitions ~11s, 8 partitions ~2s for the same
+        # exchange). At real scale pass a data-scaled count (rows / ~1M),
+        # as pipelines/extract.py does for span rows.
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = max(2, min(8, cpus))
+    _configure_hash_shuffle(ds, num_partitions, aggregator_cpu_budget)
+    return ds.repartition(num_blocks=num_partitions, keys=keys)
+
+
 def sessionize(events_ds, gap_sec: int = 1800):
     """-> (user_id, session_idx, session_start, session_end, n_events,
-    sum_value): gap-based sessions per user."""
+    sum_value): gap-based sessions per user. One hash exchange on user_id,
+    then the whole-block vectorized session kernel."""
 
-    def build(group: pa.Table) -> pa.Table:
-        return _sessions_for_group(group, gap_sec)
+    def build(block: pa.Table) -> pa.Table:
+        return _sessions_for_group(block, gap_sec)
 
-    return events_ds.groupby("user_id").map_groups(
-        build, batch_format="pyarrow"
+    return _hash_parts(events_ds, ["user_id"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -205,9 +233,10 @@ def sessionize_salted(
         tb = _epoch_seconds(batch["ts"]) // time_bucket_sec
         return batch.append_column("tb", pa.array(tb, pa.int64()))
 
-    partials = (
-        events_ds.map_batches(bucket_key, batch_format="pyarrow")
-        .groupby(["user_id", "tb"])
-        .map_groups(partial, batch_format="pyarrow")
+    keyed = events_ds.map_batches(bucket_key, batch_format="pyarrow")
+    partials = _hash_parts(keyed, ["user_id", "tb"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return partials.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    return _hash_parts(partials, ["user_id"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
