@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": Q.q_asof_join,
         "group_topk": Q.q_group_topk,
         "len_quantiles": Q.q_len_quantiles,
+        "sliding_window": Q.q_sliding_window,
+        "range_join": Q.q_range_join,
     }
 
 
@@ -538,6 +540,23 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(n_chars, 0.5) AS p50,
                quantile_disc(n_chars, 0.9) AS p90
         FROM documents GROUP BY lang
+        """,
+        "sliding_window": """
+        WITH e AS (SELECT CAST(epoch_us(ts)//1000000 AS BIGINT) AS s,
+                          event_type, value FROM events),
+        w AS (SELECT (s//1800)*1800 - k*1800 AS window_start, event_type, value
+              FROM e, UNNEST(generate_series(0, 1)) AS u(k)
+              WHERE (s//1800)*1800 - k*1800 > s - 3600)
+        SELECT window_start, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM w GROUP BY window_start, event_type
+        """,
+        "range_join": """
+        WITH bands(lo, hi, band) AS (VALUES
+          (0.0, 5.0, 'low'), (5.0, 25.0, 'mid'),
+          (25.0, 100.0, 'high'), (100.0, 1e18, 'top'))
+        SELECT e.event_id, e.value, b.band
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

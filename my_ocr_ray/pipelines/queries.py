@@ -21,8 +21,12 @@ from ..functions.num import round_away_scalar
 SPAN_TOKENS = 8
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None):
     """Pruned parquet read with data-scaled block count.
+
+    ``min_blocks`` raises the floor for queries whose per-row work is
+    CPU-heavy (polygon matching, edit distance): IO wants few fat blocks,
+    but a Python-kernel map stage wants ~one block per core.
 
     Ray's default parallelism targets ~2x CPUs regardless of size, so a
     0.6 MB table becomes 64 micro-blocks and every downstream exchange
@@ -40,6 +44,8 @@ def _read(sf_dir: str, table: str, columns=None):
     nbytes = os.path.getsize(path)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     blocks = int(max(1, min(cpus * 2, nbytes // (8 << 20) + 1)))
+    if min_blocks is not None:
+        blocks = max(blocks, min(min_blocks, cpus * 2))
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=blocks
     )
@@ -191,28 +197,58 @@ def q_top_docs(sf_dir: str):
 
 
 def q_lineitem_agg(sf_dir: str):
-    """TPC-H-Q1-flavored grouped aggregate (partial-agg pattern: Ray's
-    hash-aggregate combines per-block before the shuffle)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H-Q1-flavored grouped aggregate. Partial aggregation is done
+    MAP-SIDE with Arrow's own hash group-by (vectorized, 6 groups per
+    block), so the Ray exchange carries one partial row per (block, group)
+    — Ray's sort-based aggregate over the fat blocks alone measured 5.2s;
+    this shape runs in well under a second at the same input."""
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        min_blocks=8,
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity"), Sum("l_extendedprice"), Mean("l_discount"), Count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_discount", "sum"),
+                ("l_discount", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "qty_s",
+                "price_s",
+                "disc_s",
+                "cnt",
+            ]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_s"), Sum("price_s"), Sum("disc_s"), Sum("cnt"))
     )
 
     def rename(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            batch["sum(disc_s)"], pc.cast(batch["sum(cnt)"], pa.float64())
+        )
         return pa.Table.from_pydict(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": pc.round(batch["sum(l_quantity)"], ndigits=2, round_mode="half_towards_infinity"),
-                "sum_base_price": pc.round(batch["sum(l_extendedprice)"], ndigits=2, round_mode="half_towards_infinity"),
-                "avg_disc": pc.round(batch["mean(l_discount)"], ndigits=6, round_mode="half_towards_infinity"),
-                "count_order": pc.cast(batch["count()"], pa.int64()),
+                "sum_qty": pc.round(batch["sum(qty_s)"], ndigits=2, round_mode="half_towards_infinity"),
+                "sum_base_price": pc.round(batch["sum(price_s)"], ndigits=2, round_mode="half_towards_infinity"),
+                "avg_disc": pc.round(avg, ndigits=6, round_mode="half_towards_infinity"),
+                "count_order": pc.cast(batch["sum(cnt)"], pa.int64()),
             }
         )
 
@@ -632,7 +668,7 @@ def q_ocr_metric(sf_dir: str):
             {"gt": pa.array(gts, pa.string()), "pred": pa.array(preds, pa.string())}
         )
 
-    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=32).map_batches(
         derive, batch_format="pyarrow"
     )
     m = ocr_eval(pairs, rounder=_ras)
@@ -690,7 +726,7 @@ def q_hmean_iou(sf_dir: str):
     from ..functions.num import round_away_scalar as _ras
     from .evaluate import hmean_eval
 
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id"], min_blocks=32).map_batches(
         _derive_det_fixture, batch_format="pyarrow", fn_kwargs={"ic13": False}
     )
     m = hmean_eval(ds, rounder=_ras)
@@ -711,7 +747,7 @@ def q_hmean_ic13(sf_dir: str):
     from ..functions.num import round_away_scalar as _ras
     from .evaluate import hmean_ic13_eval
 
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id"], min_blocks=32).map_batches(
         _derive_det_fixture, batch_format="pyarrow", fn_kwargs={"ic13": True}
     )
     m = hmean_ic13_eval(ds, rounder=_ras)
@@ -757,7 +793,7 @@ def q_hmean_sweep(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id"], min_blocks=32).map_batches(
         derive, batch_format="pyarrow"
     )
     m = hmean_eval_sweep(ds, rounder=_ras)
@@ -782,8 +818,9 @@ def q_events_window(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Gap-based per-user sessionization (stateful order-dependent operator
-    as groupby(user).map_groups with in-group vectorized split)."""
+    """Gap-based per-user sessionization (stateful order-dependent operator:
+    one user_id hash exchange, then the whole-block multi-user vectorized
+    session kernel)."""
     from ..windows import sessionize
 
     return sessionize(
@@ -974,4 +1011,30 @@ def q_len_quantiles(sf_dir: str):
         group_key="lang",
         value_key="n_chars",
         qs=(0.5, 0.9),
+    )
+
+
+def q_sliding_window(sf_dir: str):
+    """Hopping windows (1h window / 30min slide): vectorized 2x fan-out to
+    window keys, then the same grouped partial aggregation as tumbling."""
+    from ..windows import sliding_window
+
+    return sliding_window(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        window_sec=3600,
+        slide_sec=1800,
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Range join against a tiny broadcast interval table (value bands):
+    one vectorized searchsorted per batch, zero exchange."""
+    from ..relational import broadcast_range_join
+
+    return broadcast_range_join(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        value_key="value",
+        boundaries=[0.0, 5.0, 25.0, 100.0, 1e18],
+        labels=["low", "mid", "high", "top"],
+        out_cols=["event_id", "value"],
     )

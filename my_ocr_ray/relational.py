@@ -162,3 +162,38 @@ def grouped_quantiles(ds, group_key: str, value_key: str, qs=(0.5, 0.9)):
         return pa.Table.from_pydict(cols)
 
     return hist.groupby(group_key).map_groups(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# broadcast range join (interval lookup)
+# ---------------------------------------------------------------------------
+
+
+def broadcast_range_join(ds, value_key: str, boundaries, labels,
+                         out_cols=None):
+    """Join each row to the interval [boundaries[i], boundaries[i+1]) that
+    contains ``value_key`` (a range join against a TINY interval table).
+
+    The interval table broadcasts in the task closure (it is a handful of
+    floats — the classic dimension-band lookup); matching is one vectorized
+    ``np.searchsorted`` per batch, so no exchange at all. Rows outside every
+    interval drop (inner semantics). len(labels) == len(boundaries) - 1.
+    """
+    bounds = np.asarray(boundaries, dtype=np.float64)
+    lab = np.asarray(labels, dtype=object)
+    if len(lab) != len(bounds) - 1:
+        raise ValueError("need len(labels) == len(boundaries) - 1")
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        v = batch[value_key].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(lab)) & (v < bounds[-1])
+        sub = batch.filter(pa.array(ok))
+        cols = {}
+        keep = out_cols or sub.column_names
+        for c in keep:
+            cols[c] = sub[c]
+        cols["band"] = pa.array(lab[idx[ok]].tolist(), pa.string())
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -165,3 +165,32 @@ def test_hash_sample_deterministic_and_correct(ray_session):
         assert (i in kept) == (b < 3)
     # rough rate sanity: md5 is uniform
     assert 0.15 < len(kept) / n < 0.45
+
+
+def test_sliding_window_fanout(ray_session):
+    """Each event lands in exactly window/slide windows; counts sum to
+    n_events * overlap."""
+    import datetime as dt
+
+    import ray.data
+
+    from my_ocr_ray.windows import sliding_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(seconds=s), "a", 1.0) for s in (0, 1799, 1800, 5400)]
+    t = pa.Table.from_pydict(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    out = sliding_window(
+        ray.data.from_arrow(t), window_sec=3600, slide_sec=1800
+    ).take_all()
+    assert sum(r["n_events"] for r in out) == 4 * 2
+    by = {r["window_start"]: r["n_events"] for r in out}
+    e0 = int(base.timestamp())
+    # events at 0 and 1799 fall in windows starting at e0-1800 and e0;
+    # event at 1800 in e0 and e0+1800; event at 5400 in e0+3600, e0+5400
+    assert by[e0 - 1800] == 2 and by[e0] == 3 and by[e0 + 1800] == 1

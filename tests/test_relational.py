@@ -139,3 +139,26 @@ def test_grouped_quantiles(ray_session):
     assert by["en"]["n"] == 10 and by["en"]["p50"] == 5 and by["en"]["p90"] == 9
     # de sorted: [2,5,5,9]; rank(0.5,4)=2 -> 5; rank(0.9,4)=4 -> 9
     assert by["de"]["n"] == 4 and by["de"]["p50"] == 5 and by["de"]["p90"] == 9
+
+
+def test_broadcast_range_join(ray_session):
+    import ray.data
+
+    from my_ocr_ray.relational import broadcast_range_join
+
+    t = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "value": pa.array([-1.0, 0.0, 5.0, 24.9, 1e19], pa.float64()),
+        }
+    )
+    out = broadcast_range_join(
+        ray.data.from_arrow(t),
+        value_key="value",
+        boundaries=[0.0, 5.0, 25.0],
+        labels=["low", "mid"],
+    ).take_all()
+    by = {r["event_id"]: r["band"] for r in out}
+    # -1 below range and 1e19 above range drop; 0.0 -> low, 5.0 -> mid (lo
+    # inclusive), 24.9 -> mid (hi exclusive)
+    assert by == {2: "low", 3: "mid", 4: "mid"}
