@@ -364,3 +364,105 @@ def hash_sample(docs_ds, buckets: int = 10, keep: int = 3):
         )
 
     return docs_ds.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _gram_hashes_u64(grams) -> np.ndarray:
+    """64-bit md5-prefix hash per n-gram, one md5 per DISTINCT gram
+    (mirrors functions/textproc.flat_token_hashes)."""
+    arr = np.asarray(grams.to_pylist() if hasattr(grams, "to_pylist") else grams,
+                     dtype=object)
+    if not len(arr):
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+            for g in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return uh[inv]
+
+
+class BloomFilter:
+    """Deterministic numpy-bitarray Bloom filter with double hashing:
+    index_i = (h_lo + i * h_hi) % n_bits over the 64-bit md5 prefix.
+
+    NO false negatives; false-positive rate ~ (1 - e^{-k/bpe})^k. The whole
+    filter is one contiguous uint8 array, so ``ray.put`` broadcasts it
+    zero-copy — the memory-bounded alternative to shipping the exact
+    eval-gram set when the eval corpus stops being tiny."""
+
+    def __init__(self, n_items: int, bits_per_item: int = 16, k: int = 7):
+        self.n_bits = max(64, int(n_items) * bits_per_item)
+        self.k = k
+        self.bits = np.zeros((self.n_bits + 7) // 8, dtype=np.uint8)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        h_lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h_hi = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h_lo[:, None] + ks[None, :] * h_hi[:, None]) % np.uint64(self.n_bits)
+
+    def add_many(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        idx = self._indices(h).ravel()
+        np.bitwise_or.at(self.bits, idx >> np.uint64(3),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(h)
+        byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+
+def decontaminate_bloom(docs_ds, eval_mod: int = 97, n: int = 5,
+                        bits_per_item: int = 16):
+    """Approximate decontamination: same contract as :func:`decontaminate`
+    but membership goes through a broadcast Bloom filter instead of the
+    exact gram set — bounded memory however large the eval corpus grows.
+    Guarantees: never misses a truly contaminated doc (no false negatives);
+    may over-flag at the filter's false-positive rate (~0.05% at 16
+    bits/item, k=7). Output column names match the exact operator so the
+    two are drop-in interchangeable."""
+    import ray
+
+    ev = eval_ngram_set(docs_ds, eval_mod, n)
+    bf = BloomFilter(len(ev) or 1, bits_per_item=bits_per_item)
+    bf.add_many(_gram_hashes_u64(np.asarray(sorted(ev), dtype=object)))
+    bf_ref = ray.put(bf)
+
+    def score(batch: pa.Table, bf_ref=bf_ref) -> pa.Table:
+        f = ray.get(bf_ref) if isinstance(bf_ref, ray.ObjectRef) else bf_ref
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod != 0))
+        grams, row_ids, n_rows = flat_ngrams(sub["text"], n)
+        overlap = np.zeros(n_rows, dtype=np.int64)
+        if len(grams):
+            h = _gram_hashes_u64(grams)
+            hit = f.contains_many(h)
+            if hit.any():
+                # distinct (row, hash) among hits
+                key = row_ids[hit].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ h[hit]
+                _, first = np.unique(key, return_index=True)
+                rows_hit = row_ids[hit][first]
+                np.add.at(overlap, rows_hit, 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub["doc_id"],
+                "n_overlap": pa.array(overlap, pa.int64()),
+                "contaminated": pa.array(overlap > 0),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -194,3 +194,54 @@ def test_sliding_window_fanout(ray_session):
     # events at 0 and 1799 fall in windows starting at e0-1800 and e0;
     # event at 1800 in e0 and e0+1800; event at 5400 in e0+3600, e0+5400
     assert by[e0 - 1800] == 2 and by[e0] == 3 and by[e0 + 1800] == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from my_ocr_ray.corpus import BloomFilter, _gram_hashes_u64
+
+    members = [f"gram number {i} here now" for i in range(1000)]
+    others = [f"different gram {i} over there" for i in range(10000)]
+    bf = BloomFilter(len(members), bits_per_item=16, k=7)
+    bf.add_many(_gram_hashes_u64(np.asarray(members, dtype=object)))
+    assert bf.contains_many(
+        _gram_hashes_u64(np.asarray(members, dtype=object))
+    ).all()
+    fp = bf.contains_many(_gram_hashes_u64(np.asarray(others, dtype=object))).mean()
+    assert fp < 0.01, fp
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    """Bloom membership can only ADD hits (false positives), never lose
+    one: every doc the exact operator flags must be flagged with at least
+    the same overlap count, and the extra flags must stay rare."""
+    import ray.data
+
+    from my_ocr_ray.corpus import decontaminate, decontaminate_bloom
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=12).tolist()) for _ in range(300)
+    ]
+    t = _docs_table(texts)
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(ray.data.from_arrow(t), eval_mod=97, n=5).take_all()
+    }
+    bloom = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate_bloom(
+            ray.data.from_arrow(t), eval_mod=97, n=5, bits_per_item=64
+        ).take_all()
+    }
+    assert set(exact) == set(bloom)
+    extras = 0
+    for d, n_ex in exact.items():
+        assert bloom[d] >= n_ex, d  # no false negatives
+        extras += bloom[d] - n_ex
+    assert extras <= len(exact) * 0.05, extras
