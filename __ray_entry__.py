@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles": Q.q_len_quantiles,
         "sliding_window": Q.q_sliding_window,
         "range_join": Q.q_range_join,
+        "weighted_sample": Q.q_weighted_sample,
+        "shared_grams": Q.q_shared_grams,
     }
 
 
@@ -557,6 +559,29 @@ def oracle_sql() -> dict[str, str]:
           (25.0, 100.0, 'high'), (100.0, 1e18, 'top'))
         SELECT e.event_id, e.value, b.band
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        """,
+        "weighted_sample": """
+        WITH b AS (SELECT doc_id, source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10 AS bucket
+          FROM documents)
+        SELECT doc_id, source, bucket FROM b
+        WHERE bucket < CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                            THEN 2 ELSE 5 END
+        """,
+        "shared_grams": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+              FROM t, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS u(i)),
+        df AS (SELECT ngram, count(DISTINCT doc_id) AS df FROM g GROUP BY ngram),
+        per AS (SELECT g.doc_id, count(*) AS tot,
+                       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS shared
+                FROM g JOIN df USING (ngram) GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               round(CAST(coalesce(per.shared, 0) AS DOUBLE)
+                     / greatest(coalesce(per.tot, 0), 1), 6) AS shared_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

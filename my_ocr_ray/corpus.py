@@ -466,3 +466,74 @@ def decontaminate_bloom(docs_ds, eval_mod: int = 97, n: int = 5,
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inter-document repetition (shared-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def shared_gram_fraction(docs_ds, n: int = 3, min_df: int = 2):
+    """Per-doc fraction of n-gram OCCURRENCES whose gram appears in at
+    least ``min_df`` distinct documents corpus-wide (CC-Net-style
+    inter-document repetition: near-1 docs are boilerplate/templates).
+
+    Phase 1 computes gram document-frequencies distributed (distinct
+    per-doc partials -> groupby-sum) and broadcasts the shared-gram set;
+    phase 2 is one vectorized membership pass. The shared set is bounded
+    by the distinct-gram count — when that outgrows a broadcast, switch
+    phase 2 to a hash join of occurrence rows against the DF table (the
+    shuffle-join path ``dedup.jaccard_pairs`` exercises).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        grams, row_ids, _ = flat_ngrams(batch["text"], n)
+        if not len(grams):
+            return pa.Table.from_pydict(
+                {"ngram": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        denc = grams.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        n_codes = len(denc.dictionary)
+        key = np.unique(row_ids * n_codes + codes)
+        per = np.bincount(key % n_codes, minlength=n_codes).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"ngram": denc.dictionary, "df": pa.array(per, pa.int64())}
+        )
+
+    df_ds = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("df"))
+    )
+
+    def keep_shared(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(pc.cast(batch["sum(df)"], pa.int64()), min_df)
+        return pa.Table.from_pydict({"ngram": batch.filter(m)["ngram"]})
+
+    shared = frozenset(
+        df_ds.map_batches(keep_shared, batch_format="pyarrow").unique("ngram")
+    )
+    shared_ref = ray.put(shared)
+
+    def score(batch: pa.Table, shared_ref=shared_ref) -> pa.Table:
+        sh = ray.get(shared_ref) if isinstance(shared_ref, ray.ObjectRef) else shared_ref
+        grams, row_ids, n_rows = flat_ngrams(batch["text"], n)
+        tot = np.bincount(row_ids, minlength=n_rows).astype(np.int64)
+        hits = np.zeros(n_rows, dtype=np.int64)
+        if len(grams):
+            garr = np.asarray(grams.to_pylist(), dtype=object)
+            mask = np.fromiter((g in sh for g in garr), bool, len(garr))
+            hits = np.bincount(row_ids[mask], minlength=n_rows).astype(np.int64)
+        frac = np.round(hits / np.maximum(tot, 1).astype(np.float64), 6)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "shared_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1038,3 +1038,30 @@ def q_range_join(sf_dir: str):
         labels=["low", "mid", "high", "top"],
         out_cols=["event_id", "value"],
     )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic per-source weighted sampling (WeightedConcatDataset's
+    oracle-able form): src0-src9 keep 2/10 buckets, the rest keep 5/10."""
+    from ..sources.mixing import weighted_hash_sample
+
+    rates = {f"src{i}": (2 if i < 10 else 5) for i in range(40)}
+    return weighted_hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        id_key="doc_id",
+        group_key="source",
+        keep_buckets=rates,
+        default_keep=5,
+        buckets=10,
+    )
+
+
+def q_shared_grams(sf_dir: str):
+    """Inter-document repetition: per-doc fraction of 3-gram occurrences
+    whose gram appears in >= 2 distinct docs (distributed gram-DF ->
+    broadcast shared set -> vectorized membership pass)."""
+    from ..corpus import shared_gram_fraction
+
+    return shared_gram_fraction(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_df=2
+    )

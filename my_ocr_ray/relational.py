@@ -28,9 +28,12 @@ def asof_join_events(
     AND l.ts >= r.ts``, inner semantics: unmatched left rows drop).
 
     Shape: filter both sides map-side, tag, union, ONE hash exchange on
-    user_id, then a vectorized merge per group (sort + forward-fill of the
-    last right index). Timestamps stay integer microseconds — exact.
-    Partitioning assumption: all events of a user fit one group; hot users
+    user_id, then a multi-user vectorized merge once per BLOCK (lexsort +
+    forward-fill of the last right index, validity-checked against each
+    user's segment start — not per-group dispatch, see DESIGN.md §5c).
+    Timestamps stay integer microseconds — exact; ties on (user, ts) break
+    to the largest right event_id deterministically.
+    Partitioning assumption: all events of a user fit one block; hot users
     would need the coarse-time-bucket split used by ``sessionize_salted``.
     """
 
@@ -51,23 +54,30 @@ def asof_join_events(
 
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        ts = group["ts_us"].to_numpy(zero_copy_only=False)
-        is_left = group["is_left"].to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        uid = group["user_id"].to_numpy(zero_copy_only=False)
-        # rights sort before lefts at equal ts so l.ts >= r.ts matches
-        order = np.lexsort((is_left, ts))
-        ts_s, left_s, eid_s = ts[order], is_left[order], eid[order]
-        idx = np.arange(len(ts_s))
-        last_right = np.where(~left_s, idx, -1)
-        last_right = np.maximum.accumulate(last_right)
-        lmask = left_s & (last_right >= 0)
+    def merge(block: pa.Table) -> pa.Table:
+        ts = block["ts_us"].to_numpy(zero_copy_only=False)
+        is_left = block["is_left"].to_numpy(zero_copy_only=False)
+        eid = block["event_id"].to_numpy(zero_copy_only=False)
+        uid = block["user_id"].to_numpy(zero_copy_only=False)
+        # per user: rights before lefts at equal ts (l.ts >= r.ts matches);
+        # among equal-ts rights the largest event_id sorts last and wins
+        order = np.lexsort((eid, is_left, ts, uid))
+        ts_s, left_s, eid_s, uid_s = ts[order], is_left[order], eid[order], uid[order]
+        n = len(ts_s)
+        idx = np.arange(n)
+        # start index of each user's contiguous segment, broadcast per row
+        seg_first = np.ones(n, dtype=bool)
+        if n > 1:
+            seg_first[1:] = uid_s[1:] != uid_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(seg_first, idx, 0))
+        last_right = np.maximum.accumulate(np.where(~left_s, idx, -1))
+        # a forward-filled right is only valid inside the same user segment
+        lmask = left_s & (last_right >= seg_start)
         r_idx = last_right[lmask]
         return pa.Table.from_pydict(
             {
                 "event_id": pa.array(eid_s[lmask], pa.int64()),
-                "user_id": pa.array(uid[order][lmask], pa.int64()),
+                "user_id": pa.array(uid_s[lmask], pa.int64()),
                 "ts_us": pa.array(ts_s[lmask], pa.int64()),
                 "matched_id": pa.array(eid_s[r_idx], pa.int64()),
                 "matched_ts_us": pa.array(ts_s[r_idx], pa.int64()),
@@ -75,7 +85,11 @@ def asof_join_events(
             }
         )
 
-    return tagged.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    from .windows import _hash_parts
+
+    return _hash_parts(tagged, ["user_id"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------

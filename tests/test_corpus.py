@@ -245,3 +245,49 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
         assert bloom[d] >= n_ex, d  # no false negatives
         extras += bloom[d] - n_ex
     assert extras <= len(exact) * 0.05, extras
+
+
+def test_shared_gram_fraction(ray_session):
+    import ray.data
+
+    from my_ocr_ray.corpus import shared_gram_fraction
+
+    # docs 0 and 1 share the trigram "a b c"; doc 2 is unique
+    t = _docs_table(["a b c d", "x a b c", "p q r s"])
+    out = shared_gram_fraction(
+        ray.data.from_arrow(t), n=3, min_df=2
+    ).take_all()
+    by = {r["doc_id"]: r["shared_frac"] for r in out}
+    # doc0 grams: "a b c", "b c d" -> 1/2 shared; doc1: "x a b","a b c" -> 1/2
+    assert by[0] == pytest.approx(0.5) and by[1] == pytest.approx(0.5)
+    assert by[2] == 0.0
+
+
+def test_weighted_hash_sample_rates(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from my_ocr_ray.sources.mixing import weighted_hash_sample
+
+    n = 300
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        }
+    )
+    out = weighted_hash_sample(
+        ray.data.from_arrow(t), "doc_id", "source",
+        keep_buckets={"a": 2, "b": 8}, buckets=10,
+    ).take_all()
+    kept = {r["doc_id"] for r in out}
+    for i in range(n):
+        b = (
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") >> 4
+        ) % 10
+        quota = 2 if i % 2 else 8
+        assert (i in kept) == (b < quota), i
+    n_a = sum(1 for d in kept if d % 2)
+    n_b = len(kept) - n_a
+    assert n_b > n_a  # 8/10 source keeps more than 2/10 source
