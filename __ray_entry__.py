@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": Q.q_range_join,
         "weighted_sample": Q.q_weighted_sample,
         "shared_grams": Q.q_shared_grams,
+        "bpe_tokens": Q.q_bpe_tokens,
     }
 
 
@@ -582,6 +583,13 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(coalesce(per.shared, 0) AS DOUBLE)
                      / greatest(coalesce(per.tot, 0), 1), 6) AS shared_frac
         FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "bpe_tokens": r"""
+        SELECT event_id,
+               CAST(len(regexp_extract_all(props,
+                    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT)
+                 AS n_bpe
+        FROM events
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

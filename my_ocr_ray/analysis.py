@@ -147,3 +147,21 @@ def parse_events_props_batch(batch: pa.Table) -> pa.Table:
         [batch["event_id"], batch["event_type"], kv],
         names=["event_id", "event_type", "k"],
     )
+
+
+BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """GPT-2-style pre-tokenizer count: runs of letters / digits / other
+    (optionally space-prefixed), the 'BPE-ish regex' token estimate. Both
+    Arrow's ``count_substring_regex`` and DuckDB use RE2, so the oracle is
+    engine-identical. Fully vectorized, no shuffle."""
+    n = pc.count_substring_regex(batch[col].combine_chunks(), BPE_ISH_RE)
+    return pa.Table.from_pydict(
+        {
+            id_col: batch[id_col],
+            "n_bpe": pc.cast(n, pa.int64()),
+        }
+    )

@@ -1065,3 +1065,15 @@ def q_shared_grams(sf_dir: str):
     return shared_gram_fraction(
         _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_df=2
     )
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer counts over the JSON props strings (letters /
+    digits / punctuation runs — the token-budget estimate for mixed
+    content). Pure vectorized RE2 map."""
+    from ..analysis import bpe_token_count_batch
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        lambda b: bpe_token_count_batch(b, col="props", id_col="event_id"),
+        batch_format="pyarrow",
+    )

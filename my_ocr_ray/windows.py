@@ -26,9 +26,40 @@ def _epoch_seconds(ts: pa.ChunkedArray) -> np.ndarray:
     return pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
 
 
+
+def _grouped_value_agg(keyed_ds, key_cols):
+    """(key cols, value) dataset -> (keys, n_events, sum_value rounded 2).
+
+    Partial-aggregates MAP-SIDE with Arrow's hash group-by (one partial row
+    per (block, key) — windows x types, a small constant), so the Ray
+    exchange never carries event rows (DESIGN.md 5c item 4)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(key_cols).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(list(key_cols) + ["v_sum", "v_cnt"])
+
+    agg = (
+        keyed_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(list(key_cols))
+        .aggregate(Sum("v_sum"), Sum("v_cnt"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in key_cols}
+        cols["n_events"] = pc.cast(batch["sum(v_cnt)"], pa.int64())
+        cols["sum_value"] = pc.round(
+            batch["sum(v_sum)"], ndigits=2, round_mode="half_towards_infinity"
+        )
+        return pa.Table.from_pydict(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def tumbling_window(events_ds, window_sec: int = 3600):
     """-> (window_start:int64, event_type, n_events, sum_value rounded 2)."""
-    from ray.data.aggregate import Count, Sum
 
     def assign(batch: pa.Table) -> pa.Table:
         secs = _epoch_seconds(batch["ts"])
@@ -41,26 +72,10 @@ def tumbling_window(events_ds, window_sec: int = 3600):
             }
         )
 
-    agg = (
-        events_ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(), Sum("value"))
+    return _grouped_value_agg(
+        events_ds.map_batches(assign, batch_format="pyarrow"),
+        ("window_start", "event_type"),
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "window_start": batch["window_start"],
-                "event_type": batch["event_type"],
-                "n_events": pc.cast(batch["count()"], pa.int64()),
-                "sum_value": pc.round(
-                    batch["sum(value)"], ndigits=2,
-                    round_mode="half_towards_infinity",
-                ),
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def _sessions_for_group(group: pa.Table, gap_sec: int) -> pa.Table:
@@ -252,8 +267,6 @@ def sliding_window(events_ds, window_sec: int = 3600, slide_sec: int = 1800):
     partial aggregation as :func:`tumbling_window` — the fan-out factor is
     a small constant, so the exchange is `overlap x` the tumbling one, not
     quadratic. ``window_sec`` must be a multiple of ``slide_sec``."""
-    from ray.data.aggregate import Count, Sum
-
     if window_sec % slide_sec:
         raise ValueError("window_sec must be a multiple of slide_sec")
     overlap = window_sec // slide_sec
@@ -267,37 +280,15 @@ def sliding_window(events_ds, window_sec: int = 3600, slide_sec: int = 1800):
             np.arange(overlap, dtype=np.int64) * slide_sec, n
         )
         keep = starts > np.repeat(secs, overlap) - window_sec
-        et = np.repeat(
-            np.asarray(batch["event_type"].to_pylist(), dtype=object), overlap
-        )
-        vals = np.repeat(
-            batch["value"].to_numpy(zero_copy_only=False), overlap
-        )
-        return pa.Table.from_pydict(
-            {
-                "window_start": pa.array(starts[keep], pa.int64()),
-                "event_type": pa.array(et[keep].tolist(), pa.string()),
-                "value": pa.array(vals[keep], pa.float64()),
-            }
+        # Arrow-side fan-out: take() with repeated indices (zero Python
+        # object churn), then attach the window-start key column
+        idx = np.repeat(np.arange(n, dtype=np.int64), overlap)[keep]
+        sub = batch.select(["event_type", "value"]).take(pa.array(idx))
+        return sub.add_column(
+            0, "window_start", pa.array(starts[keep], pa.int64())
         )
 
-    agg = (
-        events_ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(), Sum("value"))
+    return _grouped_value_agg(
+        events_ds.map_batches(assign, batch_format="pyarrow"),
+        ("window_start", "event_type"),
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "window_start": batch["window_start"],
-                "event_type": batch["event_type"],
-                "n_events": pc.cast(batch["count()"], pa.int64()),
-                "sum_value": pc.round(
-                    batch["sum(value)"], ndigits=2,
-                    round_mode="half_towards_infinity",
-                ),
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")

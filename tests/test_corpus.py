@@ -291,3 +291,17 @@ def test_weighted_hash_sample_rates(ray_session):
     n_a = sum(1 for d in kept if d % 2)
     n_b = len(kept) - n_a
     assert n_b > n_a  # 8/10 source keeps more than 2/10 source
+
+
+def test_bpe_token_count_mixed_content():
+    from my_ocr_ray.analysis import bpe_token_count_batch
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(['{"k": 69}', "hello world", ""]),
+        }
+    )
+    out = bpe_token_count_batch(t)
+    # '{"k": 69}' -> ['{"', 'k', '":', ' 69', '}'] = 5
+    assert out["n_bpe"].to_pylist() == [5, 2, 0]

@@ -162,3 +162,23 @@ def test_broadcast_range_join(ray_session):
     # -1 below range and 1e19 above range drop; 0.0 -> low, 5.0 -> mid (lo
     # inclusive), 24.9 -> mid (hi exclusive)
     assert by == {2: "low", 3: "mid", 4: "mid"}
+
+
+def test_asof_join_hot_user_correct(ray_session):
+    """A single user owning most events (hot key) still merges correctly
+    through the hash exchange + block-vectorized merge."""
+    import ray.data
+
+    n = 5000
+    rows = []
+    eid = 0
+    for s in range(n):
+        rows.append((eid, 2 * s, 7, "view")); eid += 1
+        rows.append((eid, 2 * s + 1, 7, "click")); eid += 1
+    rows.append((eid, 1, 99, "click"))  # other user, no view -> dropped
+    out = asof_join_events(
+        ray.data.from_arrow(_events_table(rows)).repartition(8)
+    ).take_all()
+    assert len(out) == n
+    for r in out[:50]:
+        assert r["gap_us"] == 1_000_000  # each click matches the view 1s before
