@@ -36,6 +36,11 @@ def _ray_init(num_cpus: int):
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            # worker logs stay in the Ray session files: shipping every
+            # task's stderr to the driver halves 32-CPU throughput at 1.6M
+            # docs (measured 291s vs 141s — ~800 tasks each emitting Ray
+            # Data schema-dedup warnings backpressure the log pipeline)
+            log_to_driver=False,
         )
     return ray
 
