@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": Q.q_weighted_sample,
         "shared_grams": Q.q_shared_grams,
         "bpe_tokens": Q.q_bpe_tokens,
+        "image_dups": Q.q_image_dups,  # rows-only: image decode has no SQL
     }
 
 

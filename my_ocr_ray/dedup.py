@@ -258,3 +258,119 @@ def embedding_dup_pairs(
     return cand.groupby(["vec_a", "vec_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup (perceptual hash + banded hamming-LSH)
+# ---------------------------------------------------------------------------
+
+
+def image_ahash_table(media_ds, grid: int = 8):
+    """(media_ref, ahash:uint64) — decode the PNG bytes column and compute
+    the 64-bit average hash per image. Decode is per-image (inherent);
+    everything after is vectorized. Runs as a plain task pool: the decoder
+    is stateless, so no actor needed."""
+    import pyarrow as pa
+
+    from .functions.imaging import ahash64, png_decode
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"]
+        out = np.empty(batch.num_rows, dtype=np.uint64)
+        data = batch["bytes"].to_pylist()
+        for i, b in enumerate(data):
+            out[i] = ahash64(png_decode(b), grid=grid)
+        return pa.Table.from_pydict(
+            {"media_ref": refs, "ahash": pa.array(out, pa.uint64())}
+        )
+
+    return media_ds.map_batches(hash_batch, batch_format="pyarrow")
+
+
+def image_dup_pairs(media_ds, max_hamming: int = 3, n_bands: int = 4):
+    """Near-duplicate image pairs via banded hamming-LSH over the 64-bit
+    aHash: split each hash into ``n_bands`` equal bit-bands; two hashes
+    within hamming distance ``n_bands - 1`` MUST agree on at least one
+    band (pigeonhole), so bucketing by (band index, band bits) finds every
+    such pair without an all-pairs scan. In-bucket verification is a
+    vectorized XOR+popcount; duplicate pair emissions (same pair from
+    multiple bands) collapse in a final tiny groupby — the same shape as
+    the MinHash-LSH text path (``lsh_candidate_pairs``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded LSH with {n_bands} bands only guarantees recall for "
+            f"hamming <= {n_bands - 1}"
+        )
+    band_bits = 64 // n_bands
+    hashed = image_ahash_table(media_ds)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        h = batch["ahash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        refs = batch["media_ref"]
+        out_ref, out_hash, out_key = [], [], []
+        for b in range(n_bands):
+            band = (h >> np.uint64(b * band_bits)) & np.uint64(
+                (1 << band_bits) - 1
+            )
+            key = (band.astype(np.int64) << np.int64(3)) | np.int64(b)
+            out_ref.append(refs)
+            out_hash.append(batch["ahash"])
+            out_key.append(pa.array(key, pa.int64()))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.concat_arrays(
+                    [r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
+                     for r in out_ref]
+                ),
+                "ahash": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in out_hash]
+                ),
+                "band_key": pa.concat_arrays([k for k in out_key]),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        refs = np.asarray(group["media_ref"].to_pylist(), dtype=object)
+        h = group["ahash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(refs, kind="stable")
+        refs, h = refs[order], h[order]
+        n = len(refs)
+        out_a, out_b = [], []
+        if n > 1:
+            ii, jj = np.triu_indices(n, k=1)
+            ham = np.zeros(len(ii), dtype=np.int64)
+            x = h[ii] ^ h[jj]
+            while True:
+                nz = x != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                x = x & (x - np.uint64(1))
+            keep = ham <= max_hamming
+            out_a = refs[ii[keep]].tolist()
+            out_b = refs[jj[keep]].tolist()
+        return pa.Table.from_pydict(
+            {
+                "ref_a": pa.array(out_a, pa.string()),
+                "ref_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    pairs = (
+        hashed.map_batches(bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    agg = pairs.groupby(["ref_a", "ref_b"]).aggregate(Count())
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["ref_a", "ref_b"])
+
+    return agg.map_batches(strip, batch_format="pyarrow")

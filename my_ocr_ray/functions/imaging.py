@@ -196,3 +196,21 @@ def png_decode(data: bytes) -> np.ndarray:
         out[r] = line
         prev = out[r]
     return out
+
+
+def ahash64(img: np.ndarray, grid: int = 8) -> int:
+    """64-bit average perceptual hash: block-mean the image to ``grid`` x
+    ``grid`` cells, set bit i when cell i >= the global cell mean.  The
+    classic aHash — near-identical renders differ by a few bits (hamming),
+    unrelated ones by ~32.  Pure numpy; deterministic."""
+    h, w = img.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.empty((grid, grid), dtype=np.float64)
+    for r in range(grid):
+        rows = img[ys[r]:max(ys[r + 1], ys[r] + 1)]
+        for c in range(grid):
+            block = rows[:, xs[c]:max(xs[c + 1], xs[c] + 1)]
+            cells[r, c] = block.mean() if block.size else 0.0
+    bits = (cells >= cells.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])

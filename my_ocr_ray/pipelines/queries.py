@@ -1077,3 +1077,26 @@ def q_bpe_tokens(sf_dir: str):
         lambda b: bpe_token_count_batch(b, col="props", id_col="event_id"),
         batch_format="pyarrow",
     )
+
+
+def q_image_dups(sf_dir: str, n_docs: int | None = None):
+    """Multimodal near-dup: perceptual-hash (aHash64) duplicate image pairs
+    over the synthetic corpus's rendered PNG media, banded hamming-LSH —
+    no SQL expression for image decode, so this is a rows-only check
+    (like flagship_extract)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..dedup import image_dup_pairs
+    from ..synth import ensure_corpus
+
+    if n_docs is None:
+        n_docs = min(
+            500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        )
+    corpus = ensure_corpus(n_docs, seed=13)
+    media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    return image_dup_pairs(media, max_hamming=3, n_bands=4)

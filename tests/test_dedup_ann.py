@@ -222,3 +222,53 @@ def test_train_ivf_centroids_improves_quantization(ray_session):
     cu = centers / np.linalg.norm(centers, axis=1)[:, None]
     best = (tu @ cu.T).max(axis=1)
     assert (best > 0.95).all()
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_properties():
+    import numpy as np
+
+    from my_ocr_ray.functions.imaging import ahash64, render_text_image
+
+    a = render_text_image("HELLO WORLD")
+    b = render_text_image("HELLO WORLD")
+    c = render_text_image("COMPLETELY DIFFERENT TEXT")
+    ha, hb, hc = ahash64(a), ahash64(b), ahash64(c)
+    assert ha == hb  # identical renders -> identical hash
+    # near-dup: flip a few pixels
+    a2 = a.copy()
+    a2[0:2, 0:2] = 255 - a2[0:2, 0:2]
+    h2 = ahash64(a2)
+    assert bin(ha ^ h2).count("1") <= 3
+    assert bin(ha ^ hc).count("1") > 8  # unrelated content far away
+
+
+def test_image_dup_pairs_finds_duplicates(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from my_ocr_ray.dedup import image_dup_pairs
+    from my_ocr_ray.functions.imaging import png_encode, render_text_image
+
+    imgs = {
+        "m0": render_text_image("SPARK SHUFFLE JOIN"),
+        "m1": render_text_image("SPARK SHUFFLE JOIN"),   # exact dup of m0
+        "m2": render_text_image("ARROW BATCH KERNEL"),
+        "m3": render_text_image("WINDOW MERGE SORT XYZ"),
+    }
+    t = pa.Table.from_pydict(
+        {
+            "media_ref": pa.array(list(imgs), pa.string()),
+            "bytes": pa.array([png_encode(v) for v in imgs.values()],
+                              pa.large_binary()),
+        }
+    )
+    out = image_dup_pairs(ray.data.from_arrow(t)).take_all()
+    pairs = {(r["ref_a"], r["ref_b"]) for r in out}
+    assert ("m0", "m1") in pairs
+    assert all({a, b} != {"m2", "m3"} for a, b in pairs)
