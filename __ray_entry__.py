@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_grams": Q.q_shared_grams,
         "bpe_tokens": Q.q_bpe_tokens,
         "image_dups": Q.q_image_dups,  # rows-only: image decode has no SQL
+        "distinct_users": Q.q_distinct_users,
+        "funnel": Q.q_funnel,
+        "rollup": Q.q_rollup,
     }
 
 
@@ -591,6 +594,37 @@ def oracle_sql() -> dict[str, str]:
                     ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT)
                  AS n_bpe
         FROM events
+        """,
+        "distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+        """,
+        "funnel": """
+        WITH m AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view'
+                     THEN CAST(epoch_us(ts) AS BIGINT) END) AS v,
+            min(CASE WHEN event_type = 'click'
+                     THEN CAST(epoch_us(ts) AS BIGINT) END) AS c,
+            min(CASE WHEN event_type = 'purchase'
+                     THEN CAST(epoch_us(ts) AS BIGINT) END) AS p
+          FROM events GROUP BY user_id)
+        SELECT
+          CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+          CAST(count(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                          THEN 1 END) AS BIGINT) AS n_click_after_view,
+          CAST(count(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                          AND p IS NOT NULL AND p > c
+                          THEN 1 END) AS BIGINT) AS n_purchase_after_click
+        FROM m
+        """,
+        "rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

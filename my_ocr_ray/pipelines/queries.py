@@ -1100,3 +1100,165 @@ def q_image_dups(sf_dir: str, n_docs: int | None = None):
     corpus = ensure_corpus(n_docs, seed=13)
     media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
     return image_dup_pairs(media, max_hamming=3, n_bands=4)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT): arrow partial (type, user, cnt)
+    per block -> groupby(type, user) sum (each pair now once) -> arrow
+    partial per block again -> tiny groupby(type). The two-level shape
+    never materializes a global distinct set anywhere."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"], min_blocks=8)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["event_type", "user_id", "cnt"])
+
+    from ..windows import _hash_parts
+
+    # ONE hash exchange on (type, user); per-block Arrow kernels do the
+    # pair combine AND the per-type partial, and the per-type partials
+    # (5 rows x blocks) coalesce to one block for the exact finale — the
+    # sort-based aggregate alternative pays ~4s of barrier cost TWICE.
+    parts = _hash_parts(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+    )
+
+    def combine(block: pa.Table) -> pa.Table:
+        pair = block.group_by(["event_type", "user_id"]).aggregate(
+            [("cnt", "sum")]
+        )
+        g = pair.group_by(["event_type"]).aggregate(
+            [("user_id", "count"), ("cnt_sum", "sum")]
+        )
+        return g.rename_columns(["event_type", "u_part", "e_part"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("u_part", "sum"), ("e_part", "sum")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": g["event_type"],
+                "n_users": pc.cast(g["u_part_sum"], pa.int64()),
+                "n_events": pc.cast(g["e_part_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        parts.map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_funnel(sf_dir: str):
+    """view -> click -> purchase conversion funnel: per-user min event
+    times (grouped partial mins), then ordered-stage counts. One (user,
+    type) exchange + one user co-location exchange of 3-row-per-user
+    partials; the finale is a 3-number sum."""
+    import ray.data
+
+    from ..windows import _hash_parts
+
+    STAGES = ("view", "click", "purchase")
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(STAGES))
+        sub = batch.filter(keep)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": sub["event_type"],
+                "user_id": sub["user_id"],
+                "ts_us": pc.cast(sub["ts"], pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate([("ts_us", "min")])
+        return g.rename_columns(["user_id", "event_type", "ts_min"])
+
+    # NO (user, type) groupby round: the per-user hash partition co-locates
+    # every partial, so the block kernel min-merges duplicates itself
+    # (np.minimum.at) — one exchange total.
+    mins = ds.map_batches(min_partial, batch_format="pyarrow")
+
+    def block_counts(block: pa.Table) -> pa.Table:
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        types = np.asarray(block["event_type"].to_pylist(), dtype=object)
+        ts = block["ts_min"].to_numpy(zero_copy_only=False)
+        uu = np.unique(users)
+        stage_ts = {}
+        for s in STAGES:
+            arr = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+            m = types == s
+            np.minimum.at(arr, np.searchsorted(uu, users[m]), ts[m])
+            stage_ts[s] = arr
+        big = np.iinfo(np.int64).max
+        v, c, p = stage_ts["view"], stage_ts["click"], stage_ts["purchase"]
+        n_view = int((v < big).sum())
+        n_click = int(((v < big) & (c < big) & (c > v)).sum())
+        n_purch = int(((v < big) & (c < big) & (c > v) & (p < big) & (p > c)).sum())
+        return pa.Table.from_pydict(
+            {
+                "n_view": pa.array([n_view], pa.int64()),
+                "n_click_after_view": pa.array([n_click], pa.int64()),
+                "n_purchase_after_click": pa.array([n_purch], pa.int64()),
+            }
+        )
+
+    parts = _hash_parts(mins, ["user_id"]).map_batches(
+        block_counts, batch_format="pyarrow", batch_size=None
+    )
+    sums = parts.sum(["n_view", "n_click_after_view", "n_purchase_after_click"])
+    return pa.Table.from_pydict(
+        {
+            "n_view": pa.array([int(sums["sum(n_view)"])], pa.int64()),
+            "n_click_after_view": pa.array(
+                [int(sums["sum(n_click_after_view)"])], pa.int64()
+            ),
+            "n_purchase_after_click": pa.array(
+                [int(sums["sum(n_purchase_after_click)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def q_rollup(sf_dir: str):
+    """GROUPING SETS ((flag, status), (flag)): the detail level reuses the
+    map-side partial-agg shape; subtotal rows derive from the 6-row detail
+    table (tiny by construction), NULL status marks subtotals."""
+    detail = q_lineitem_agg(sf_dir)
+
+    def add_subtotals(batch: pa.Table) -> pa.Table:
+        sub = batch.group_by(["l_returnflag"]).aggregate(
+            [("sum_qty", "sum"), ("count_order", "sum")]
+        )
+        det = pa.Table.from_pydict(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.round(
+                    batch["sum_qty"], ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
+        subt = pa.Table.from_pydict(
+            {
+                "l_returnflag": sub["l_returnflag"],
+                "l_linestatus": pa.array([None] * sub.num_rows, pa.string()),
+                "sum_qty": pc.round(
+                    sub["sum_qty_sum"], ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
+                "count_order": pc.cast(sub["count_order_sum"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([det, subt])
+
+    return detail.repartition(1).map_batches(
+        add_subtotals, batch_format="pyarrow", batch_size=None
+    )
