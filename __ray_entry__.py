@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.q_distinct_users,
         "funnel": Q.q_funnel,
         "rollup": Q.q_rollup,
+        "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
     }
 
 

@@ -1262,3 +1262,19 @@ def q_rollup(sf_dir: str):
     return detail.repartition(1).map_batches(
         add_subtotals, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_hll_users(sf_dir: str):
+    """Approximate per-type distinct users via a HyperLogLog sketch
+    (deterministic md5 registers, order-independent max-merge — identical
+    answer on any cluster size). Rows-only check: the estimate has no SQL
+    twin, but `q_distinct_users` is the exact reference and the unit tests
+    pin the error bound."""
+    from ..sketches import grouped_hll_distinct
+
+    return grouped_hll_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"], min_blocks=8),
+        group_key="event_type",
+        value_key="user_id",
+        p=12,
+    )
