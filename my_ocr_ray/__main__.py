@@ -55,6 +55,12 @@ def main(argv=None) -> int:
     p.add_argument("--img-root", required=True)
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser("query", help="run a named battery query over an sf dir")
+    p.add_argument("name", help="query name (or 'list' to enumerate)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default=None,
+                   help="write result parquet here; prints row count otherwise")
+
     args = ap.parse_args(argv)
     ray = _ray_init(args.num_cpus)
     try:
@@ -101,6 +107,33 @@ def main(argv=None) -> int:
 
             n = ingest_recog_dataset(args.labels, args.img_root, args.out)
             print(json.dumps({"status": "ok", "rows": n}))
+        elif args.cmd == "query":
+            import importlib.util
+            import os
+
+            import ray.data
+
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__",
+                os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             "__ray_entry__.py"),
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            qs = mod.queries()
+            if args.name == "list":
+                print(json.dumps(sorted(qs)))
+            else:
+                res = qs[args.name](args.sf_dir)
+                if not isinstance(res, ray.data.Dataset):
+                    import ray.data as rd
+
+                    res = rd.from_arrow(res)
+                if args.out:
+                    res.write_parquet(args.out)
+                    print(json.dumps({"status": "ok", "out": args.out}))
+                else:
+                    print(json.dumps({"status": "ok", "rows": res.count()}))
     finally:
         ray.shutdown()
     return 0

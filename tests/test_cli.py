@@ -49,3 +49,15 @@ def test_cli_synth_extract_roundtrip(tmp_path):
         ).to_table().to_pylist()
     }
     assert got == want and len(got) == 40
+
+
+def test_cli_query_runs_named_query(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "my_ocr_ray", "--num-cpus", "4",
+         "query", "len_quantiles", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    r = json.loads(lines[-1])
+    assert r["status"] == "ok" and r["rows"] == 5
