@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": Q.q_funnel,
         "rollup": Q.q_rollup,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
+        "anti_join": Q.q_anti_join,
     }
 
 
@@ -626,6 +627,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS count_order
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        """,
+        "anti_join": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE user_id NOT IN (
+          SELECT user_id FROM events
+          WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08')
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction) -> rows-only checks

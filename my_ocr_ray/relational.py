@@ -211,3 +211,34 @@ def broadcast_range_join(ds, value_key: str, boundaries, labels,
         return pa.Table.from_pydict(cols)
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join (broadcast build side)
+# ---------------------------------------------------------------------------
+
+
+def broadcast_semi_anti_join(ds, key: str, build_keys_ds, build_key: str,
+                             anti: bool = False):
+    """Semi-join (keep rows whose key IS in the build side) or anti-join
+    (keep rows whose key is NOT): the build side reduces to its distinct
+    keys distributed (`unique`), broadcasts once via ``ray.put`` as a
+    sorted numpy array, and membership is one vectorized searchsorted per
+    batch — zero exchange on the probe side. When the build side stops
+    fitting a broadcast, co-partition both sides by key hash and flag
+    in-block (the ``dedup.jaccard_pairs`` join shape)."""
+    import ray
+
+    keys = np.asarray(sorted(build_keys_ds.unique(build_key)))
+    keys_ref = ray.put(keys)
+
+    def flt(batch: pa.Table, keys_ref=keys_ref) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        v = batch[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, v)
+        pos = np.clip(pos, 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == v) if len(ks) else np.zeros(len(v), dtype=bool)
+        keep = ~hit if anti else hit
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

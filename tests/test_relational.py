@@ -182,3 +182,24 @@ def test_asof_join_hot_user_correct(ray_session):
     assert len(out) == n
     for r in out[:50]:
         assert r["gap_us"] == 1_000_000  # each click matches the view 1s before
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    import ray.data
+
+    from my_ocr_ray.relational import broadcast_semi_anti_join
+
+    probe = pa.Table.from_pydict(
+        {"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "v": pa.array(list("abcde"))}
+    )
+    build = pa.Table.from_pydict({"bk": pa.array([2, 4, 4, 9], pa.int64())})
+    semi = broadcast_semi_anti_join(
+        ray.data.from_arrow(probe), "k", ray.data.from_arrow(build), "bk"
+    ).take_all()
+    anti = broadcast_semi_anti_join(
+        ray.data.from_arrow(probe), "k", ray.data.from_arrow(build), "bk",
+        anti=True,
+    ).take_all()
+    assert {r["k"] for r in semi} == {2, 4}
+    assert {r["k"] for r in anti} == {1, 3, 5}
