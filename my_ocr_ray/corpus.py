@@ -487,8 +487,6 @@ def shared_gram_fraction(docs_ds, n: int = 3, min_df: int = 2):
     """
     import ray
 
-    from ray.data.aggregate import Sum
-
     def df_partial(batch: pa.Table) -> pa.Table:
         grams, row_ids, _ = flat_ngrams(batch["text"], n)
         if not len(grams):
@@ -504,19 +502,21 @@ def shared_gram_fraction(docs_ds, n: int = 3, min_df: int = 2):
             {"ngram": denc.dictionary, "df": pa.array(per, pa.int64())}
         )
 
+    # partials are distinct-gram-bounded: coalesce them to ONE block and
+    # combine with Arrow's hash group-by there — the sort-based Ray
+    # aggregate alternative pays ~4s of exchange barrier for the same
+    # vocabulary-sized table (DESIGN.md 5c item 4)
+    def combine_filter(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["ngram"]).aggregate([("df", "sum")])
+        m = pc.greater_equal(pc.cast(g["df_sum"], pa.int64()), min_df)
+        return pa.Table.from_pydict({"ngram": g.filter(m)["ngram"]})
+
     df_ds = (
         docs_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("ngram")
-        .aggregate(Sum("df"))
+        .repartition(1)
+        .map_batches(combine_filter, batch_format="pyarrow", batch_size=None)
     )
-
-    def keep_shared(batch: pa.Table) -> pa.Table:
-        m = pc.greater_equal(pc.cast(batch["sum(df)"], pa.int64()), min_df)
-        return pa.Table.from_pydict({"ngram": batch.filter(m)["ngram"]})
-
-    shared = frozenset(
-        df_ds.map_batches(keep_shared, batch_format="pyarrow").unique("ngram")
-    )
+    shared = frozenset(df_ds.unique("ngram"))
     shared_ref = ray.put(shared)
 
     def score(batch: pa.Table, shared_ref=shared_ref) -> pa.Table:
