@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": Q.q_funnel,
         "rollup": Q.q_rollup,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
+        "cms_ngrams": Q.q_cms_ngrams,  # rows-only: approximate; exact twin is ngram_topk
         "anti_join": Q.q_anti_join,
     }
 

@@ -1280,6 +1280,22 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_cms_ngrams(sf_dir: str):
+    """Approximate corpus top-20 trigrams via a Count-Min sketch +
+    per-block candidate sets — the bounded-memory scale path for
+    `q_ngram_topk` (which shuffles one row per distinct gram; this ships
+    a fixed 8 MB sketch per block whatever the vocabulary). Rows-only
+    check: approximate by construction (estimates are upper bounds;
+    collisions can reorder count-tied grams at the k boundary);
+    `q_ngram_topk` is the exact SQL twin, and the unit test pins top-k
+    equality on a skewed corpus."""
+    from ..sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _read(sf_dir, "documents", ["text"]), n=3, k=20, width=1 << 18, depth=4
+    )
+
+
 def q_anti_join(sf_dir: str):
     """Events of users with NO signup in the first week (broadcast
     anti-join: the build side reduces to distinct keys distributed and

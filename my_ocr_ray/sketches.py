@@ -118,3 +118,125 @@ def grouped_hll_distinct(ds, group_key: str, value_key: str, p: int = 12):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_indices(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """int64[depth, n] cell index per hash per row, by double hashing the
+    64-bit md5 prefix: idx_d = (h_lo + d * h_hi) % width (Kirsch &
+    Mitzenmacher 2006 — d independent-enough functions from one hash)."""
+    h_lo = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h_hi = (h >> np.uint64(32)).astype(np.int64) | np.int64(1)  # odd stride
+    d = np.arange(depth, dtype=np.int64)[:, None]
+    return (h_lo[None, :] + d * h_hi[None, :]) % width
+
+
+def cms_build(h: np.ndarray, counts: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """int64[depth, width] sketch from (hash, count) pairs — one scatter-add
+    per depth row over DISTINCT items, not per occurrence."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if len(h):
+        idx = cms_indices(h, width, depth)
+        for d in range(depth):
+            np.add.at(sk[d], idx[d], counts)
+    return sk
+
+
+def cms_query(sk: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point estimate per hash: min over depth rows (>= true count, never
+    under; overestimate probability e^-depth per eps*N band)."""
+    depth, width = sk.shape
+    if not len(h):
+        return np.empty(0, dtype=np.int64)
+    idx = cms_indices(h, width, depth)
+    est = sk[0, idx[0]]
+    for d in range(1, depth):
+        est = np.minimum(est, sk[d, idx[d]])
+    return est
+
+
+def cms_heavy_hitters(docs_ds, n: int = 3, k: int = 20, width: int = 1 << 16,
+                      depth: int = 4, cand_per_block: int | None = None):
+    """Approximate corpus top-k n-grams in BOUNDED memory.
+
+    The exact ``corpus.ngram_topk`` shuffles one partial row per distinct
+    gram per block — fine while the vocabulary fits an exchange, but at
+    100 TB the distinct-trigram table is itself corpus-sized. This variant
+    ships exactly ``depth*width*8`` bytes of sketch + ``cand_per_block``
+    candidate strings per block, REGARDLESS of vocabulary size:
+
+        map: per-block exact gram counts (arrow value_counts) -> add into a
+             local CMS; keep the block's top candidates (a global heavy
+             hitter is a heavy hitter in some blocks)
+        reduce (one tiny block): SUM the sketches (CMS is linear, so the
+             merge is exact and order-independent), union the candidates,
+             estimate each via min-over-rows, emit top-k.
+
+    Deterministic for a given input set. Estimates are upper bounds of the
+    true counts; with width >> distinct-heavy-mass they are exact, which
+    the unit test pins against ``ngram_topk`` on the synthetic corpus.
+    Rows-only correctness entry (approximate by construction; the exact
+    twin ``ngram_topk`` carries the SQL oracle).
+    """
+
+    if cand_per_block is None:
+        cand_per_block = 4 * k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .corpus import _gram_hashes_u64, flat_ngrams
+
+        grams, _, _ = flat_ngrams(batch["text"], n)
+        if len(grams) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "sketch": pa.array([], pa.large_binary()),
+                    "cand": pa.array([], pa.large_list(pa.string())),
+                }
+            )
+        vc = grams.value_counts()
+        vals = vc.field("values")
+        cnts = np.asarray(vc.field("counts"), dtype=np.int64)
+        h = _gram_hashes_u64(vals)
+        sk = cms_build(h, cnts, width, depth)
+        # block-local top candidates (count desc, gram asc for determinism)
+        vals_np = np.asarray(vals.to_pylist(), dtype=object)
+        order = np.lexsort((vals_np, -cnts))[:cand_per_block]
+        return pa.Table.from_pydict(
+            {
+                "sketch": pa.array([sk.tobytes()], pa.large_binary()),
+                "cand": pa.array([vals_np[order].tolist()],
+                                 pa.large_list(pa.string())),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        from .corpus import _gram_hashes_u64
+
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"ngram": pa.array([], pa.string()),
+                 "cnt_est": pa.array([], pa.int64())}
+            )
+        merged = np.zeros((depth, width), dtype=np.int64)
+        for b in batch["sketch"].to_pylist():
+            merged += np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+        cand = sorted({g for row in batch["cand"].to_pylist() for g in row})
+        cand_arr = np.asarray(cand, dtype=object)
+        est = cms_query(merged, _gram_hashes_u64(cand_arr))
+        order = np.lexsort((cand_arr, -est))[:k]
+        return pa.Table.from_pydict(
+            {
+                "ngram": pa.array(cand_arr[order].tolist(), pa.string()),
+                "cnt_est": pa.array(est[order], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -57,3 +57,60 @@ def test_grouped_hll_matches_exact_within_bound(ray_session):
     for r in out:
         e = exact[r["g"]]
         assert abs(r["n_distinct_approx"] - e) / e < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide():
+    from my_ocr_ray.sketches import cms_build, cms_query
+
+    rng = np.random.default_rng(7)
+    n_items = 2000
+    counts = rng.integers(1, 100, n_items).astype(np.int64)
+    h = hash64_strings([f"item{i}" for i in range(n_items)])
+    # narrow sketch: estimates are upper bounds
+    sk = cms_build(h, counts, width=256, depth=4)
+    est = cms_query(sk, h)
+    assert (est >= counts).all()
+    # wide sketch: essentially no collisions -> exact
+    skw = cms_build(h, counts, width=1 << 18, depth=4)
+    assert (cms_query(skw, h) == counts).all()
+
+
+def test_cms_merge_is_linear():
+    from my_ocr_ray.sketches import cms_build
+
+    h = hash64_strings([f"x{i}" for i in range(500)])
+    counts = np.arange(1, 501, dtype=np.int64)
+    whole = cms_build(h, counts, width=1024, depth=3)
+    parts = sum(
+        cms_build(h[i::4], counts[i::4], width=1024, depth=3) for i in range(4)
+    )
+    assert (whole == parts).all()
+
+
+def test_cms_heavy_hitters_matches_exact_topk(ray_session):
+    import ray.data
+
+    from my_ocr_ray.corpus import ngram_topk
+    from my_ocr_ray.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    phrases = [f"p{i} q{i} r{i}" for i in range(30)]  # zipf-ish heavy hitters
+    texts = []
+    for _ in range(600):
+        words = rng.choice(vocab, rng.integers(5, 40)).tolist()
+        for i in range(30):
+            if rng.random() < 1.0 / (i + 2):
+                words += phrases[i].split()
+        texts.append(" ".join(words))
+    t = pa.Table.from_pydict({"text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = ngram_topk(ds, n=3, k=10).take_all()
+    approx = cms_heavy_hitters(ds, n=3, k=10, width=1 << 16, depth=4).take_all()
+    assert [r["ngram"] for r in approx] == [r["ngram"] for r in exact]
+    assert [r["cnt_est"] for r in approx] == [r["cnt"] for r in exact]
