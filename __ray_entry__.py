@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": Q.q_exact_dedup,
         "minhash_sig": Q.q_minhash_sig,
         "lsh_pairs": Q.q_lsh_pairs,
+        "dedup_clusters": Q.q_dedup_clusters,
         "simhash": Q.q_simhash,
         "jaccard_adjacent": Q.q_jaccard_adjacent,
         "embedding_dups": Q.q_embedding_dups,
@@ -382,6 +383,28 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": _SIGS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
         """,
         "jaccard_adjacent": r"""
         WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

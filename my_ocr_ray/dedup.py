@@ -374,3 +374,165 @@ def image_dup_pairs(media_ds, max_hamming: int = 3, n_bands: int = 4):
         return batch.select(["ref_a", "ref_b"])
 
     return agg.map_batches(strip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster assignment (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 50):
+    """(doc_id, cluster_id) per node of the candidate-pair graph, where
+    cluster_id = min doc_id reachable — the canonical-representative
+    labelling a dedup pipeline keeps one document per cluster with.
+
+    Distributed hash-min label propagation: each round joins the edge list
+    against the current labels and takes the per-node min over (own label,
+    neighbours' labels); converges in O(graph diameter) rounds, and
+    near-dup clusters are near-cliques, so diameter is tiny in practice.
+    The edge/label tables are the DEDUP-CANDIDATE subset of the corpus
+    (≪ input rows at 100 TB) but still distributed — each round is one
+    hash join + one groupby-min, with the label table materialized between
+    rounds so lineage stays one round deep. Convergence is detected from
+    the (monotone decreasing) global label sum — a scalar aggregate per
+    round, never a driver-side diff of the label table.
+
+    Between rounds the materialized label table is rebuilt from its
+    non-empty block refs (metadata only, no data fetched): under
+    ShuffleStrategy.HASH_SHUFFLE, empty aggregator partitions surface as
+    zero-COLUMN blocks that map_batches forwards untouched, and one such
+    block on the probe side makes the downstream acero join fail with
+    "no match for key field".
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def _nonempty(ds):
+        """Dataset rebuilt from ds's non-empty materialized blocks, or
+        None when every block is empty (refs move, bytes stay put)."""
+        refs = [
+            blk
+            for bundle in ds.iter_internal_ref_bundles()
+            for blk, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+        return ray.data.from_arrow_refs(refs) if refs else None
+
+    def _empty_result():
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "src": pa.concat_arrays(
+                    [batch["doc_a"].combine_chunks(), batch["doc_b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch["doc_b"].combine_chunks(), batch["doc_a"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = _nonempty(
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+    if edges is None:
+        return _empty_result()
+
+    # round 0: label(n) = min(n, min direct neighbour)
+    def with_self(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays(
+                    [batch["src"].combine_chunks(), batch["src"].combine_chunks()]
+                ),
+                "label": pa.concat_arrays(
+                    [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+                ),
+            }
+        )
+
+    labels = (
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b["node"], pc.cast(b["min(label)"], pa.int64())],
+                names=["node", "label"],
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    labels = _nonempty(labels)
+    if labels is None:
+        return _empty_result()
+
+    def _label_sum(lds) -> int:
+        row = lds.aggregate(Sum("label"))
+        v = None if row is None else row.get("sum(label)")
+        return 0 if v is None else int(v)
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        # neighbour labels: edge (src, dst) x label(dst) -> (src, label)
+        neigh = edges.join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["dst_node", "label"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("dst_node",),
+        ).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b["src"], b["label"]], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(neigh)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b["node"], pc.cast(b["min(label)"], pa.int64())],
+                    names=["node", "label"],
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        labels = _nonempty(labels)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["node"], b["label"]], names=["doc_id", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(docs_ds, num_hashes: int = 8, band_size: int = 2, k: int = 3):
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id = min id in component).
+    Downstream keeps `doc_id == cluster_id` rows for a one-per-cluster
+    deduped corpus."""
+    pairs = lsh_candidate_pairs(
+        docs_ds, num_hashes=num_hashes, band_size=band_size, k=k
+    )
+    return connected_components(pairs)

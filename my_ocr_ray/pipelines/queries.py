@@ -285,6 +285,22 @@ def q_lsh_pairs(sf_dir: str):
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: LSH candidate pairs -> distributed
+    hash-min connected components -> (doc_id, cluster_id = min reachable
+    doc_id). Same LSH config as `q_lsh_pairs`; the oracle closes the
+    transitive closure with a recursive CTE over the identical pair SQL."""
+    from ..dedup import connected_components, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_hashes=4,
+        band_size=2,
+        k=3,
+    )
+    return connected_components(pairs)
+
+
 def q_simhash(sf_dir: str):
     from ..dedup import simhash_table
 

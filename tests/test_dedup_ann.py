@@ -272,3 +272,56 @@ def test_image_dup_pairs_finds_duplicates(ray_session):
     pairs = {(r["ref_a"], r["ref_b"]) for r in out}
     assert ("m0", "m1") in pairs
     assert all({a, b} != {"m2", "m3"} for a, b in pairs)
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
+    # pair {10,11}, singleton edges absent for 99 (not in output)
+    pairs = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([1, 2, 3, 4, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 5, 11], pa.int64()),
+        }
+    )
+    out = connected_components(ray.data.from_arrow(pairs).repartition(3)).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import connected_components
+
+    pairs = pa.Table.from_pydict(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    out = connected_components(ray.data.from_arrow(pairs)).take_all()
+    assert out == []
+
+
+def test_dedup_clusters_groups_known_near_dups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " extra", "completely different words here entirely",
+             base, "another unrelated document about nothing shared"]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = dedup_clusters(ray.data.from_arrow(t).repartition(2)).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    # exact copies 0 and 3 must share a cluster rooted at 0
+    assert got[0] == 0 and got[3] == 0
