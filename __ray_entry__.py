@@ -33,6 +33,26 @@ spans AS (
 
 _FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
+
+def _pii_sql() -> str:
+    """Redaction cascade built from the SAME rule tuple the Ray kernel
+    applies (analysis.PII_RULES) — one nested count-then-replace layer per
+    rule, so both engines see each pattern against identical input."""
+    from my_ocr_ray.analysis import PII_RULES
+
+    inner = "SELECT doc_id, text, CAST(0 AS BIGINT) AS n FROM documents"
+    for pat, repl in PII_RULES:
+        p = pat.replace("'", "''")
+        inner = (
+            "SELECT doc_id, regexp_replace(text, '" + p + "', '" + repl
+            + "', 'g') AS text, n + len(regexp_extract_all(text, '" + p
+            + "')) AS n FROM (" + inner + ")"
+        )
+    return (
+        "SELECT doc_id, text, CAST(n AS BIGINT) AS n_redactions FROM ("
+        + inner + ")"
+    )
+
 # MinHash v2 oracle built from the SAME constants as the vectorized kernel
 # (functions/textproc.py): token hash = 60-bit md5 prefix mod P, shingle =
 # polynomial fold base B, signature = affine (A[s]*h + C[s]) mod P minima.
@@ -100,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": Q.q_quality,
         "lang_id": Q.q_lang_id,
         "fingerprint": Q.q_fingerprint,
+        "pii_redact": Q.q_pii_redact,
         "events_parse": Q.q_events_parse,
         "events_window": Q.q_events_window,
         "sessionize": Q.q_sessionize,
@@ -316,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         """,
         "fingerprint": f"SELECT doc_id, {_FP} AS fp FROM documents",
+        "pii_redact": _pii_sql(),
         "events_parse": r"""
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k

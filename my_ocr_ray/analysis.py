@@ -165,3 +165,45 @@ def bpe_token_count_batch(batch: pa.Table, col: str = "text",
             "n_bpe": pc.cast(n, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / phone-like numbers)
+# ---------------------------------------------------------------------------
+
+# RE2 syntax only (shared verbatim with the DuckDB oracle — both engines run
+# RE2, so a shared pattern string is engine-identical). Applied IN ORDER:
+# emails first so their digits can't be half-eaten by the phone rule.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d() .-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text redacted via the PII_RULES cascade, n_redactions).
+
+    Fully vectorized: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` per rule per batch. Counting precedes each
+    replacement, so later rules never double-count text a previous rule
+    already masked."""
+    text = batch["text"].combine_chunks()
+    n = np.zeros(len(text), dtype=np.int64)
+    for pattern, repl in PII_RULES:
+        n += np.asarray(
+            pc.count_substring_regex(text, pattern).fill_null(0), dtype=np.int64
+        )
+        text = pc.replace_substring_regex(text, pattern, repl)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "text": text,
+            "n_redactions": pa.array(n, pa.int64()),
+        }
+    )
+
+
+def redact_pii(docs_ds):
+    """Corpus-wide PII masking — pure map stage, zero exchange."""
+    return docs_ds.map_batches(redact_pii_batch, batch_format="pyarrow")

@@ -166,6 +166,15 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII masking cascade (email -> IPv4 -> phone) over documents — pure
+    vectorized map, zero exchange; RE2 patterns shared verbatim with the
+    DuckDB oracle."""
+    from ..analysis import redact_pii
+
+    return redact_pii(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_events_parse(sf_dir: str):
     """LineJsonParser analog + grouped aggregate over the parsed field."""
     from ray.data.aggregate import Count, Sum

@@ -91,3 +91,76 @@ def test_simhash_similarity_property():
 def test_jaccard():
     assert jaccard_ngrams("a b c d", "a b c d") == 1.0
     assert jaccard_ngrams("a b c d", "x y z w") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_masks_and_counts():
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import redact_pii_batch
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact me at john.doe+spam@example.co.uk today",
+                    "server at 192.168.001.1 and call +1 (555) 123-4567 now",
+                    "no pii here at all",
+                    "two mails a@b.io c@d.org and one phone 555-867-5309",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = redact_pii_batch(t).to_pylist()
+    assert out[0]["text"] == "contact me at <EMAIL> today"
+    assert out[0]["n_redactions"] == 1
+    assert out[1]["text"] == "server at <IP> and call <PHONE> now"
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["text"] == "no pii here at all"
+    assert out[2]["n_redactions"] == 0
+    assert out[3]["text"] == "two mails <EMAIL> <EMAIL> and one phone <PHONE>"
+    assert out[3]["n_redactions"] == 3
+
+
+def test_redact_pii_duckdb_parity_on_pii_laden_text():
+    """Arrow RE2 kernels vs DuckDB RE2 on text where every rule fires —
+    the sf oracle corpus has no PII, so engine parity is pinned here."""
+    import duckdb
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import PII_RULES, redact_pii_batch
+
+    texts = [
+        "a@b.com then 10.0.0.1 then +44 20 7946 0958 end",
+        "edge: trailing dot a@b.co. and 999.999.999.999 and 1234567890",
+        "nested me@host.domain.org;192.0.2.255;(555) 000-1111",
+        "",
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    mine = redact_pii_batch(t).to_pylist()
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    inner = "SELECT doc_id, text, CAST(0 AS BIGINT) AS n FROM documents"
+    for pat, repl in PII_RULES:
+        p = pat.replace("'", "''")
+        inner = (
+            "SELECT doc_id, regexp_replace(text, '" + p + "', '" + repl
+            + "', 'g') AS text, n + len(regexp_extract_all(text, '" + p
+            + "')) AS n FROM (" + inner + ")"
+        )
+    want = con.execute(
+        "SELECT doc_id, text, n AS n_redactions FROM (" + inner + ") ORDER BY doc_id"
+    ).fetchall()
+    assert [(r["doc_id"], r["text"], r["n_redactions"]) for r in mine] == want
