@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus family (round 2)
         "ngram_topk": Q.q_ngram_topk,
         "decontaminate": Q.q_decontaminate,
+        "curate": Q.q_curate,
         "repetition": Q.q_repetition,
         "tfidf": Q.q_tfidf,
         "hash_sample": Q.q_hash_sample,
@@ -427,6 +428,42 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
         SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+        """,
+        "curate": _SIGS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+        cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        dupdrop AS (SELECT doc_id FROM cc WHERE cluster_id <> doc_id),
+        g5 AS (
+          SELECT doc_id, toks[i] || \' \' || toks[i+1] || \' \' || toks[i+2] || \' \'
+                         || toks[i+3] || \' \' || toks[i+4] AS ngram
+          FROM t, UNNEST(generate_series(1, greatest(len(toks)-4, 0))) AS u(i)),
+        ev AS (SELECT DISTINCT ngram FROM g5 WHERE doc_id % 97 = 0),
+        contam AS (
+          SELECT DISTINCT g5.doc_id FROM g5 JOIN ev USING(ngram)
+          WHERE g5.doc_id % 97 <> 0)
+        SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, d.text
+        FROM documents d JOIN t ON d.doc_id = t.doc_id
+        WHERE d.lang = \'en\' AND len(t.toks) >= 30 AND d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM dupdrop)
+          AND d.doc_id NOT IN (SELECT doc_id FROM contam)
         """,
         "jaccard_adjacent": r"""
         WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

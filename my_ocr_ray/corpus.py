@@ -537,3 +537,68 @@ def shared_gram_fraction(docs_ds, n: int = 3, min_df: int = 2):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation composite
+# ---------------------------------------------------------------------------
+
+
+def curate(docs_ds, lang: str = "en", min_tokens: int = 30,
+           eval_mod: int = 97, contam_n: int = 5,
+           num_hashes: int = 4, band_size: int = 2, k: int = 3):
+    """The standard LLM training-data curation chain as ONE composed
+    pipeline: language filter -> length filter -> near-dup keep-one ->
+    eval-slice + contamination drop. Output: (doc_id, n_tokens, text)
+    of the surviving clean corpus.
+
+    Shape at scale: the per-doc filters are one vectorized map pass; the
+    two drop sets (non-canonical near-dup members from
+    ``dedup.dedup_clusters``; contaminated ids from ``decontaminate``)
+    are DEDUP-CANDIDATE-sized, reduced to distinct ids distributed and
+    broadcast once each (`relational.broadcast_semi_anti_join`), so the
+    main corpus stream is never exchanged. Both side computations run on
+    the FULL corpus so cluster canonicals and eval grams are defined
+    independently of the cheap filters.
+    """
+    from .dedup import dedup_clusters
+    from .relational import broadcast_semi_anti_join
+
+    def keep_cheap(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch["text"], r"\S+")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (
+            np.asarray(pc.equal(batch["lang"], lang), dtype=bool)
+            & (np.asarray(n_tok, dtype=np.int64) >= min_tokens)
+            & (ids % eval_mod != 0)
+        )
+        sub = batch.filter(pa.array(keep))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(sub["text"], r"\S+"), pa.int64()
+                ),
+                "text": sub["text"],
+            }
+        )
+
+    kept = docs_ds.map_batches(keep_cheap, batch_format="pyarrow")
+
+    dup_drop = dedup_clusters(
+        docs_ds, num_hashes=num_hashes, band_size=band_size, k=k
+    ).map_batches(
+        lambda b: b.filter(pc.not_equal(b["cluster_id"], b["doc_id"])),
+        batch_format="pyarrow",
+    )
+    kept = broadcast_semi_anti_join(
+        kept, key="doc_id", build_keys_ds=dup_drop, build_key="doc_id", anti=True
+    )
+
+    contam = decontaminate(docs_ds, eval_mod=eval_mod, n=contam_n).map_batches(
+        lambda b: b.filter(b["contaminated"].combine_chunks()),
+        batch_format="pyarrow",
+    )
+    return broadcast_semi_anti_join(
+        kept, key="doc_id", build_keys_ds=contam, build_key="doc_id", anti=True
+    )

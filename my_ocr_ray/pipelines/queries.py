@@ -960,6 +960,16 @@ def q_ngram_topk(sf_dir: str):
     return ngram_topk(_read(sf_dir, "documents", ["text"]), n=3, k=20)
 
 
+def q_curate(sf_dir: str):
+    """End-to-end curation composite: lang=en + >=30 tokens + near-dup
+    keep-one (same LSH config as `q_dedup_clusters`) + eval-slice and
+    5-gram contamination drop. Both drop sets broadcast; the corpus
+    stream is never exchanged."""
+    from ..corpus import curate
+
+    return curate(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 def q_decontaminate(sf_dir: str):
     """Eval-set n-gram decontamination: flag training docs sharing any
     5-gram with the doc_id%97==0 eval slice (broadcast eval-gram set)."""

@@ -305,3 +305,35 @@ def test_bpe_token_count_mixed_content():
     out = bpe_token_count_batch(t)
     # '{"k": 69}' -> ['{"', 'k', '":', ' 69', '}'] = 5
     assert out["n_bpe"].to_pylist() == [5, 2, 0]
+
+
+def test_curate_applies_every_filter(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.corpus import curate
+
+    def words(prefix, n=40):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    rows = {
+        0: (words("eval"), "en"),                 # eval slice (0%97==0) -> drop
+        1: (words("keepa"), "en"),                # keep
+        2: ("short text", "en"),                  # too short -> drop
+        3: (words("german"), "de"),               # wrong lang -> drop
+        4: (words("x") + " " + words("eval", 6), "en"),  # shares eval 5-gram -> drop
+        5: (words("dup"), "en"),                  # keep: canonical of {5, 6}
+        6: (words("dup"), "en"),                  # exact dup of 5 -> drop
+    }
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array([v[0] for v in rows.values()], pa.string()),
+            "lang": pa.array([v[1] for v in rows.values()], pa.string()),
+        }
+    )
+    out = curate(ray.data.from_arrow(t).repartition(2)).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 5]
+    for r in out:
+        assert r["n_tokens"] >= 30
