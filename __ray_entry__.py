@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "cms_ngrams": Q.q_cms_ngrams,  # rows-only: approximate; exact twin is ngram_topk
         "anti_join": Q.q_anti_join,
+        "mix_strata": Q.q_mix_strata,
+        "stratified_sample": Q.q_stratified_sample,
+        "inverted_index": Q.q_inverted_index,
+        "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
     }
 
 
@@ -717,8 +721,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id FROM events
           WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08')
         """,
+        "mix_strata": """
+        WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        n AS (SELECT sum(c) AS n, sum(pow(CAST(c AS DOUBLE), 0.5)) AS sw
+              FROM c),
+        t AS (SELECT c.lang,
+                CAST(floor(least(1.0,
+                      0.5 * n.n * pow(CAST(c.c AS DOUBLE), 0.5) / n.sw / c.c)
+                     * 1152921504606846976.0) AS BIGINT) AS thr
+              FROM c CROSS JOIN n)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN t USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) < t.thr
+        """,
+        "stratified_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 10
+        """,
+        "inverted_index": r"""
+        WITH g AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS token
+                   FROM documents),
+        t AS (SELECT DISTINCT doc_id, token FROM g)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
+        FROM t GROUP BY token HAVING count(*) >= 2
+        """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
-        # ann_ivf (approximate by construction) -> rows-only checks
+        # ann_ivf (approximate by construction), quantile_sketch
+        # (approximate by construction) -> rows-only checks
     }
     # the salted two-phase sessionize must equal the plain one exactly —
     # same oracle proves it value-for-value

@@ -540,6 +540,221 @@ def shared_gram_fraction(docs_ds, n: int = 3, min_df: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# temperature-based domain mixing + exact-k stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _h60(ids: np.ndarray) -> np.ndarray:
+    """First 60 bits of md5(str(id)) as int64 — the deterministic
+    pseudo-uniform draw shared with :func:`hash_sample` (SQL:
+    ``('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT``)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8], "big") >> 4
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def stratum_counts(docs_ds, key: str) -> dict[str, int]:
+    """Per-stratum row counts as a driver-side dict: map-side
+    ``value_counts`` partials combined on the driver. The combine table is
+    stratum-cardinality-sized (languages, domains — tiny), never the
+    corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch[key].combine_chunks().value_counts()
+        return pa.Table.from_pydict(
+            {key: vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    pdf = docs_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pdf.groupby(key)["c"].sum().to_dict()
+
+
+def mix_strata(docs_ds, key: str = "lang", alpha: float = 0.5,
+               target_ratio: float = 0.5):
+    """Temperature-based domain re-mixing (the multilingual-LM sampling
+    rule, e.g. XLM-R / mT5: stratum share ∝ count^alpha): downsample a
+    skewed corpus toward flattened stratum weights, deterministically.
+
+    With per-stratum counts c_s, target share w_s = c_s^a / sum(c_s^a)
+    and a target total of ``target_ratio * N`` docs, each stratum keeps
+    fraction f_s = min(1, target_ratio * N * w_s / c_s) — dominant strata
+    are cut hardest, rare strata pass through whole. A doc survives iff
+    its 60-bit md5 draw < floor(f_s * 2^60): pure map-side, reproducible
+    across runs and cluster sizes, resumable — no random state, no
+    shuffle. The stratum-count side input is tiny and computed
+    distributed (:func:`stratum_counts`)."""
+    counts = stratum_counts(docs_ds, key)
+    n = float(sum(counts.values()))
+    sw = float(sum(c ** alpha for c in counts.values()))
+    thr = {
+        s: np.int64(np.floor(min(1.0, target_ratio * n * (c ** alpha) / sw / c)
+                             * 2.0 ** 60))
+        for s, c in counts.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _h60(ids)
+        keys = batch[key].combine_chunks()
+        denc = keys.dictionary_encode()
+        lut = np.array([thr.get(s, np.int64(0)) for s in denc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        mask = h < lut[np.asarray(denc.indices, dtype=np.int64)]
+        sub = batch.filter(pa.array(mask))
+        return pa.Table.from_pydict({"doc_id": sub["doc_id"], key: sub[key]})
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(docs_ds, key: str = "lang", k: int = 10):
+    """EXACTLY min(k, stratum size) docs per stratum, chosen by smallest
+    md5-hex draw (a deterministic reservoir; SQL ``row_number() OVER
+    (PARTITION BY key ORDER BY md5(id), id) <= k``).
+
+    Shape: each block keeps its own k smallest per stratum first, so the
+    exchange carries ≤ k x strata x blocks tiny rows however large the
+    corpus; the final selection runs on one coalesced block. Complements
+    :func:`mix_strata` (fractional, size-proportional) with fixed-quota
+    sampling."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hx = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+                      dtype=object)
+        keys = batch[key].combine_chunks()
+        denc = keys.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        order = np.lexsort((ids, hx, codes))
+        seg = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(order)])))
+        )
+        sel = order[rank < k]
+        sub = batch.take(pa.array(np.sort(sel)))
+        return pa.Table.from_pydict({"doc_id": sub["doc_id"], key: sub[key]})
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (token -> df + capped postings)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(docs_ds, k: int = 5, min_df: int = 2):
+    """Distributed inverted-index build: per token, its document
+    frequency and the first ``k`` doc_ids (ascending, comma-joined) —
+    the retrieval-side artifact of a curation run (BM25 index shards,
+    df-based stopword lists).
+
+    Correct BECAUSE each doc lives in exactly one input block: per-block
+    distinct (token, doc) pairs are globally distinct, so df sums across
+    blocks and postings merge without re-deduplication. Per block the
+    pair list is capped to the k smallest doc_ids per token before the
+    exchange; the combine then sees ≤ k x blocks candidates per token.
+    The combine runs on one coalesced block (vocabulary-sized table —
+    same rationale as :func:`shared_gram_fraction`); at an unbounded
+    vocabulary switch the coalesce to a hash exchange on token."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, row_ids, _ = flat_tokens(batch["text"])
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(toks):
+            return pa.Table.from_pydict(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "doc_list": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        denc = toks.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        n_codes = len(denc.dictionary)
+        # distinct (token, doc) within the block, sorted by (token, doc)
+        key = np.unique(codes * len(docs) + row_ids)
+        tok_of = key // len(docs)
+        doc_of = docs[key % len(docs)]
+        # block rows need not be doc_id-ordered: re-sort by (token, doc value)
+        order = np.lexsort((doc_of, tok_of))
+        tok_of, doc_of = tok_of[order], doc_of[order]
+        starts = np.flatnonzero(np.concatenate(([True], tok_of[1:] != tok_of[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(key)])))
+        rank = np.arange(len(key)) - np.repeat(starts, seg_len)
+        keep = rank < k
+        kept_len = np.minimum(seg_len, k)
+        offsets = np.concatenate(([0], np.cumsum(kept_len))).astype(np.int32)
+        doc_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(doc_of[keep], pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "token": denc.dictionary.take(pa.array(tok_of[starts])),
+                "df": pa.array(seg_len, pa.int64()),
+                "doc_list": doc_list,
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        toks = batch["token"].combine_chunks()
+        denc = toks.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        # total df per token
+        n_codes = len(denc.dictionary)
+        df_tot = np.bincount(codes, weights=df, minlength=n_codes).astype(np.int64)
+        # flatten postings with their token code
+        dl = batch["doc_list"].combine_chunks()
+        lens = np.asarray(pc.list_value_length(dl).fill_null(0), dtype=np.int64)
+        flat_docs = np.asarray(pc.list_flatten(dl), dtype=np.int64)
+        flat_codes = np.repeat(codes, lens)
+        order = np.lexsort((flat_docs, flat_codes))
+        seg = flat_codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(seg)])))
+        rank = np.arange(len(seg)) - np.repeat(starts, seg_len)
+        keep = rank < k
+        kept_len = np.minimum(seg_len, k)
+        offsets = np.concatenate(([0], np.cumsum(kept_len))).astype(np.int32)
+        doc_strs = pc.cast(pa.array(flat_docs[order][keep], pa.int64()), pa.string())
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), doc_strs), ","
+        )
+        out_codes = seg[starts]
+        m = df_tot[out_codes] >= min_df
+        return pa.Table.from_pydict(
+            {
+                "token": denc.dictionary.take(pa.array(out_codes[m])),
+                "df": pa.array(df_tot[out_codes][m], pa.int64()),
+                "postings": postings.filter(pa.array(m)),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation composite
 # ---------------------------------------------------------------------------
 

@@ -1356,3 +1356,52 @@ def q_anti_join(sf_dir: str):
         ev, key="user_id", build_keys_ds=build, build_key="user_id", anti=True
     )
     return out.select_columns(["event_id", "user_id", "event_type"])
+
+
+def q_mix_strata(sf_dir: str):
+    """Temperature-flattened language re-mixing (share ∝ count^0.5,
+    target half the corpus): deterministic md5 draw vs per-stratum keep
+    threshold, pure map-side after a tiny distributed stratum count."""
+    from ..corpus import mix_strata
+
+    return mix_strata(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        key="lang", alpha=0.5, target_ratio=0.5,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exactly min(10, stratum size) docs per language by smallest
+    md5-hex draw — fixed-quota deterministic reservoir; per-block
+    partial top-k keeps the exchange k x strata x blocks rows."""
+    from ..corpus import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), key="lang", k=10
+    )
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: token -> document frequency + first-5
+    postings (comma-joined asc doc_ids), min_df=2. Per-block distinct
+    (token, doc) pairs are globally distinct (each doc lives in one
+    block), so df sums and capped postings merge exactly."""
+    from ..corpus import inverted_index
+
+    return inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5, min_df=2
+    )
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Approximate per-event-type value quantiles via the mergeable
+    fixed-width histogram sketch (4096 bins -> estimates within one bin
+    width above exact; rows-only, the exact twin is len_quantiles'
+    machinery; error bound pinned in tests)."""
+    from ..sketches import grouped_quantile_sketch
+
+    return grouped_quantile_sketch(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        group_key="event_type", value_key="value",
+        qs=(0.5, 0.9, 0.99), bins=4096,
+    )

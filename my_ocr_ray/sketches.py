@@ -240,3 +240,83 @@ def cms_heavy_hitters(docs_ds, n: int = 3, k: int = 20, width: int = 1 << 16,
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile-histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantile_sketch(ds, group_key: str, value_key: str,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            bins: int = 4096):
+    """Approximate per-group quantiles via a fixed-width histogram sketch.
+
+    The exact path (``relational.grouped_quantiles``) shuffles every
+    distinct value; this ships exactly ``bins * 8`` bytes per (block,
+    group) whatever the block holds — the bounded-memory companion, same
+    role the CMS plays for top-k. Two passes: a trivial global min/max
+    aggregate fixes shared bin edges, then per-block per-group counts
+    sum linearly (order-independent merge -> deterministic result).
+    Each estimate is the UPPER EDGE of the first bin whose cumulative
+    count reaches ceil(q*n), so it is within one bin width above the
+    exact discrete quantile — the unit test pins that bound against
+    DuckDB. Rows-only correctness entry (approximate by construction;
+    the exact twin carries the SQL oracle)."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(value_key), Max(value_key))
+    lo, hi = float(mm[f"min({value_key})"]), float(mm[f"max({value_key})"])
+    w = max((hi - lo) / bins, 1e-300)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_key].combine_chunks()
+        denc = groups.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        vals = batch[value_key].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((vals - lo) / w).astype(np.int64), 0, bins - 1)
+        n_groups = len(denc.dictionary)
+        counts = np.bincount(codes * bins + idx, minlength=n_groups * bins)
+        counts = counts.reshape(n_groups, bins).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                group_key: denc.dictionary,
+                "hist": pa.array([c.tobytes() for c in counts], pa.large_binary()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = {group_key: [], "n": []}
+        for q in qs:
+            cols[f"p{int(q * 100)}_est"] = []
+        if batch.num_rows:
+            groups = np.asarray(batch[group_key].to_pylist(), dtype=object)
+            hists = [np.frombuffer(b, dtype=np.int64)
+                     for b in batch["hist"].to_pylist()]
+            for g in np.unique(groups):
+                merged = np.zeros(bins, dtype=np.int64)
+                for h, gg in zip(hists, groups):
+                    if gg == g:
+                        merged += h
+                n = int(merged.sum())
+                cum = np.cumsum(merged)
+                cols[group_key].append(g)
+                cols["n"].append(n)
+                for q in qs:
+                    r = max(1, int(np.ceil(q * n)))
+                    b = int(np.searchsorted(cum, r))
+                    cols[f"p{int(q * 100)}_est"].append(
+                        round(lo + (b + 1) * w, 6)
+                    )
+        out = {group_key: pa.array(cols[group_key], pa.string()),
+               "n": pa.array(cols["n"], pa.int64())}
+        for q in qs:
+            name = f"p{int(q * 100)}_est"
+            out[name] = pa.array(cols[name], pa.float64())
+        return pa.Table.from_pydict(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

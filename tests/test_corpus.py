@@ -337,3 +337,96 @@ def test_curate_applies_every_filter(ray_session):
     assert kept == [1, 5]
     for r in out:
         assert r["n_tokens"] >= 30
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing / stratified sampling / inverted index
+# ---------------------------------------------------------------------------
+
+
+def _h60(i: int) -> int:
+    return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big") >> 4
+
+
+def test_mix_strata_flattens_skew(ray_session):
+    """Rare strata pass through whole; the dominant stratum is cut to its
+    temperature-flattened share; membership is the exact md5-threshold
+    rule (deterministic across runs and block layouts)."""
+    import ray.data
+
+    from my_ocr_ray.corpus import mix_strata
+
+    langs = ["en"] * 900 + ["de"] * 90 + ["fr"] * 10
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = mix_strata(ds, key="lang", alpha=0.5, target_ratio=0.5).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    # f_de and f_fr exceed 1 -> kept whole; f_en = 500*30/sw/900 ~ 0.391
+    assert len(by["de"]) == 90 and len(by["fr"]) == 10
+    sw = 900 ** 0.5 + 90 ** 0.5 + 10 ** 0.5
+    f_en = 0.5 * 1000 * (900 ** 0.5) / sw / 900
+    thr = int(np.floor(min(1.0, f_en) * 2.0 ** 60))
+    expect_en = {i for i in range(900) if _h60(i) < thr}
+    assert by["en"] == expect_en
+    # independent re-run (different block layout) -> identical membership
+    out2 = mix_strata(
+        ray.data.from_arrow(t), key="lang", alpha=0.5, target_ratio=0.5
+    ).take_all()
+    assert {r["doc_id"] for r in out2} == {r["doc_id"] for r in out}
+
+
+def test_stratified_sample_exact_quota(ray_session):
+    """Exactly min(k, stratum size) rows per stratum, selected by smallest
+    md5-hex draw; multi-block run equals single-block run."""
+    import ray.data
+
+    from my_ocr_ray.corpus import stratified_sample
+
+    langs = ["en"] * 50 + ["de"] * 7 + ["fr"]
+    ids = list(range(58))
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()), "lang": pa.array(langs, pa.string())}
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(t).repartition(5), key="lang", k=10
+    ).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["en"]) == 10 and len(by["de"]) == 7 and by["fr"] == {57}
+    # expected en selection: 10 smallest (md5 hex, id) draws
+    en_ids = sorted(range(50), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert by["en"] == set(en_ids[:10])
+    single = stratified_sample(ray.data.from_arrow(t), key="lang", k=10).take_all()
+    assert {(r["lang"], r["doc_id"]) for r in single} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+
+
+def test_inverted_index_df_and_postings(ray_session):
+    """df counts distinct docs per token; postings are the k smallest
+    doc_ids ascending, merged exactly across blocks; min_df filters."""
+    import ray.data
+
+    from my_ocr_ray.corpus import inverted_index
+
+    t = _docs_table(["a b c", "b c b", "c a", "b", "only once"], ids=[0, 1, 2, 3, 4])
+    out = inverted_index(
+        ray.data.from_arrow(t).repartition(3), k=5, min_df=2
+    ).take_all()
+    got = {r["token"]: (r["df"], r["postings"]) for r in out}
+    assert got == {"a": (2, "0,2"), "b": (3, "0,1,3"), "c": (3, "0,1,2")}
+    # k caps postings to globally smallest doc_ids even when blocks only
+    # see their local candidates
+    t2 = _docs_table(["t"] * 6, ids=[5, 0, 3, 1, 4, 2])
+    out2 = inverted_index(
+        ray.data.from_arrow(t2).repartition(3), k=2, min_df=2
+    ).take_all()
+    assert out2 == [{"token": "t", "df": 6, "postings": "0,1"}]

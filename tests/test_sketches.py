@@ -114,3 +114,47 @@ def test_cms_heavy_hitters_matches_exact_topk(ray_session):
     approx = cms_heavy_hitters(ds, n=3, k=10, width=1 << 16, depth=4).take_all()
     assert [r["ngram"] for r in approx] == [r["ngram"] for r in exact]
     assert [r["cnt_est"] for r in approx] == [r["cnt"] for r in exact]
+
+
+# ---------------------------------------------------------------------------
+# quantile-histogram sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_within_one_bin(ray_session):
+    """Each estimate is the upper edge of the rank bin: exact discrete
+    quantile <= estimate <= exact + bin width, per group, and n is the
+    true group size."""
+    import math
+
+    import ray.data
+
+    from my_ocr_ray.sketches import grouped_quantile_sketch
+
+    rng = np.random.RandomState(7)
+    groups = ["a"] * 4000 + ["b"] * 1000
+    vals = np.concatenate(
+        [rng.exponential(10.0, 4000), rng.normal(100.0, 5.0, 1000)]
+    )
+    t = pa.Table.from_pydict(
+        {
+            "event_type": pa.array(groups, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    bins = 4096
+    out = grouped_quantile_sketch(
+        ray.data.from_arrow(t).repartition(6),
+        group_key="event_type", value_key="value",
+        qs=(0.5, 0.9, 0.99), bins=bins,
+    ).take_all()
+    lo, hi = float(vals.min()), float(vals.max())
+    w = (hi - lo) / bins
+    by = {r["event_type"]: r for r in out}
+    for g, gvals in (("a", vals[:4000]), ("b", vals[4000:])):
+        assert by[g]["n"] == len(gvals)
+        sv = np.sort(gvals)
+        for q in (0.5, 0.9, 0.99):
+            exact = sv[max(1, math.ceil(q * len(sv))) - 1]
+            est = by[g][f"p{int(q * 100)}_est"]
+            assert exact - 1e-6 <= est <= exact + w + 1e-6, (g, q, exact, est)
