@@ -651,7 +651,8 @@ def stratified_sample(docs_ds, key: str = "lang", k: int = 10):
 # ---------------------------------------------------------------------------
 
 
-def inverted_index(docs_ds, k: int = 5, min_df: int = 2):
+def inverted_index(docs_ds, k: int = 5, min_df: int = 2,
+                   num_partitions: int | None = None):
     """Distributed inverted-index build: per token, its document
     frequency and the first ``k`` doc_ids (ascending, comma-joined) —
     the retrieval-side artifact of a curation run (BM25 index shards,
@@ -662,9 +663,12 @@ def inverted_index(docs_ds, k: int = 5, min_df: int = 2):
     blocks and postings merge without re-deduplication. Per block the
     pair list is capped to the k smallest doc_ids per token before the
     exchange; the combine then sees ≤ k x blocks candidates per token.
-    The combine runs on one coalesced block (vocabulary-sized table —
-    same rationale as :func:`shared_gram_fraction`); at an unbounded
-    vocabulary switch the coalesce to a hash exchange on token."""
+    By default the combine runs on one coalesced block (vocabulary-sized
+    table — same rationale as :func:`shared_gram_fraction`); for an
+    unbounded vocabulary pass ``num_partitions`` to hash-exchange the
+    partials on token instead — each token's candidates land in exactly
+    one block, so the identical combine kernel runs per partition and
+    no single worker ever holds the whole vocabulary."""
 
     def partial(batch: pa.Table) -> pa.Table:
         toks, row_ids, _ = flat_tokens(batch["text"])
@@ -747,11 +751,14 @@ def inverted_index(docs_ds, k: int = 5, min_df: int = 2):
             }
         )
 
-    return (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
-    )
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    if num_partitions is not None:
+        from .windows import _hash_parts
+
+        partials = _hash_parts(partials, ["token"], num_partitions)
+    else:
+        partials = partials.repartition(1)
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

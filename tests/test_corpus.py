@@ -430,3 +430,9 @@ def test_inverted_index_df_and_postings(ray_session):
         ray.data.from_arrow(t2).repartition(3), k=2, min_df=2
     ).take_all()
     assert out2 == [{"token": "t", "df": 6, "postings": "0,1"}]
+    # unbounded-vocabulary path: hash exchange on token gives the same
+    # index as the coalesced combine
+    hashed = inverted_index(
+        ray.data.from_arrow(t).repartition(3), k=5, min_df=2, num_partitions=3
+    ).take_all()
+    assert {r["token"]: (r["df"], r["postings"]) for r in hashed} == got
