@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": Q.q_stratified_sample,
         "inverted_index": Q.q_inverted_index,
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
+        "ner_f1": Q.q_ner_f1,
     }
 
 
@@ -750,6 +751,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(count(*) AS BIGINT) AS df,
                array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
         FROM t GROUP BY token HAVING count(*) >= 2
+        """,
+        "ner_f1": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents)
+        ),
+        gt AS (
+          SELECT doc_id,
+                 CASE WHEN tok IN ('table','line','row') THEN 'OBJ'
+                      ELSE 'ADJ' END AS category,
+                 pos AS s, pos AS e
+          FROM toks
+          WHERE tok IN ('table','line','row','fast','slow','big','small')
+        ),
+        pred AS (
+          SELECT doc_id,
+                 CASE WHEN tok IN ('table','line') THEN 'OBJ'
+                      ELSE 'ADJ' END AS category,
+                 pos AS s, pos AS e
+          FROM toks WHERE tok IN ('table','line','fast','slow','value')
+        ),
+        corr AS (
+          SELECT p.category FROM pred p
+          WHERE EXISTS (SELECT 1 FROM gt g
+                        WHERE g.doc_id = p.doc_id AND g.category = p.category
+                          AND g.s = p.s AND g.e = p.e)
+        ),
+        u AS (
+          SELECT o.category, o.n_gt,
+                 coalesce(f.n_pred, 0) AS n_pred,
+                 coalesce(r.n_correct, 0) AS n_correct
+          FROM (SELECT category, count(*) AS n_gt FROM gt GROUP BY category) o
+          LEFT JOIN (SELECT category, count(*) AS n_pred FROM pred
+                     GROUP BY category) f USING (category)
+          LEFT JOIN (SELECT category, count(*) AS n_correct FROM corr
+                     GROUP BY category) r USING (category)
+          UNION ALL
+          SELECT 'all', (SELECT count(*) FROM gt),
+                 (SELECT count(*) FROM pred), (SELECT count(*) FROM corr)
+        ),
+        v AS (
+          SELECT category, n_gt, n_pred, n_correct,
+            CASE WHEN n_pred = 0 THEN 0.0
+                 ELSE CAST(n_correct AS DOUBLE) / n_pred END AS p,
+            CASE WHEN n_gt = 0 THEN 0.0
+                 ELSE CAST(n_correct AS DOUBLE) / n_gt END AS r
+          FROM u
+        )
+        SELECT category, CAST(n_gt AS BIGINT) AS n_gt,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_correct AS BIGINT) AS n_correct,
+               round(p, 6) AS prec, round(r, 6) AS rec,
+               round(CASE WHEN p + r = 0 THEN 0.0
+                     ELSE 2 * p * r / (p + r) END, 6) AS f1
+        FROM v ORDER BY category
         """,
         # no oracle: flagship_extract / ocr_eval (OCR semantics),
         # ann_ivf (approximate by construction), quantile_sketch

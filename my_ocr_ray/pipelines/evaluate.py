@@ -238,3 +238,132 @@ def hmean_eval_sweep(ds, score_thrs=None, iou_thr: float = 0.5, rounder=round) -
         if m["hmean"] > best["hmean"]:
             best = {**m, "score_thr": thr}
     return best
+
+
+# ---------------------------------------------------------------------------
+# entity-level NER F1 (reference: mmocr/core/evaluation/ner_metric.py:43-113)
+# ---------------------------------------------------------------------------
+
+_NER_COUNT_SCHEMA = pa.schema(
+    [("category", pa.string()), ("n_gt", pa.int64()),
+     ("n_pred", pa.int64()), ("n_correct", pa.int64())]
+)
+
+
+def _ner_partial(batch: pa.Table) -> pa.Table:
+    """Per-block per-category (n_gt, n_pred, n_correct) partials over
+    tagged entity rows (side 0 = gt, 1 = pred). A pred entity is correct
+    iff its exact (doc_id, category, start, end) appears among the doc's
+    gt entities — the reference's ``pre_entity in gt_entities[i]``
+    membership test (``ner_metric.py:60-62``), so duplicate predictions
+    each count, exactly as there. Requires each doc's rows co-located
+    in one block (the caller hash-exchanges on doc_id)."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return _NER_COUNT_SCHEMA.empty_table()
+    cat = batch["category"].combine_chunks().dictionary_encode()
+    codes = np.asarray(cat.indices, dtype=np.int64)
+    keys = np.stack(
+        [
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            codes,
+            batch["start"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["end"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ],
+        axis=1,
+    )
+    side = batch["side"].to_numpy(zero_copy_only=False)
+    void = np.ascontiguousarray(keys).view([("", np.int64)] * 4).ravel()
+    _, inv = np.unique(void, return_inverse=True)
+    in_gt = np.zeros(inv.max() + 1, dtype=bool)
+    in_gt[inv[side == 0]] = True
+    correct = (side == 1) & in_gt[inv]
+    ncat = len(cat.dictionary)
+    return pa.Table.from_pydict(
+        {
+            "category": cat.dictionary,
+            "n_gt": pa.array(np.bincount(codes[side == 0], minlength=ncat), pa.int64()),
+            "n_pred": pa.array(np.bincount(codes[side == 1], minlength=ncat), pa.int64()),
+            "n_correct": pa.array(np.bincount(codes[correct], minlength=ncat), pa.int64()),
+        }
+    )
+
+
+def ner_f1_eval(gt_ds, pred_ds, num_partitions: int | None = None):
+    """Entity-level NER precision/recall/F1 as a Ray Data pipeline.
+
+    Inputs: two Datasets of flat entity rows ``(doc_id:int64,
+    category:string, start:int64, end:int64)``. Output: one row per
+    gt category plus the ``'all'`` totals row (reference emits
+    per-category rows only for categories present in ground truth,
+    ``ner_metric.py:69``; pred-only categories still count in 'all'),
+    with ``prec = n_correct/n_pred``, ``rec = n_correct/n_gt``,
+    ``f1 = 2pr/(p+r)`` and the reference's zero-denominator rules
+    (``ner_metric.py:24-41``), rounded ties-away to 6.
+
+    Shape: one hash exchange on doc_id co-locates each doc's gt+pred
+    rows (entity rows are skinny), per-block vectorized membership +
+    bincount partials, then a category-cardinality-sized combine on one
+    block — nothing corpus-sized ever coalesces."""
+    import numpy as np
+
+    from ..functions.num import round_away_scalar
+    from ..windows import _hash_parts
+
+    def tag(side_val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side_val, np.int8))
+            )
+
+        return fn
+
+    combined = gt_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        pred_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = {"category": [], "n_gt": [], "n_pred": [], "n_correct": []}
+        if batch.num_rows:
+            cats = np.asarray(batch["category"].to_pylist(), dtype=object)
+            g = batch["n_gt"].to_numpy(zero_copy_only=False)
+            p = batch["n_pred"].to_numpy(zero_copy_only=False)
+            c = batch["n_correct"].to_numpy(zero_copy_only=False)
+            for cat in sorted(set(cats)):
+                m = cats == cat
+                if int(g[m].sum()) > 0:
+                    cols["category"].append(cat)
+                    cols["n_gt"].append(int(g[m].sum()))
+                    cols["n_pred"].append(int(p[m].sum()))
+                    cols["n_correct"].append(int(c[m].sum()))
+            cols["category"].append("all")
+            cols["n_gt"].append(int(g.sum()))
+            cols["n_pred"].append(int(p.sum()))
+            cols["n_correct"].append(int(c.sum()))
+        prec, rec, f1 = [], [], []
+        for o, f, r in zip(cols["n_gt"], cols["n_pred"], cols["n_correct"]):
+            pv = 0.0 if f == 0 else r / f
+            rv = 0.0 if o == 0 else r / o
+            fv = 0.0 if pv + rv == 0 else 2 * pv * rv / (pv + rv)
+            prec.append(round_away_scalar(pv, 6))
+            rec.append(round_away_scalar(rv, 6))
+            f1.append(round_away_scalar(fv, 6))
+        return pa.Table.from_pydict(
+            {
+                "category": pa.array(cols["category"], pa.string()),
+                "n_gt": pa.array(cols["n_gt"], pa.int64()),
+                "n_pred": pa.array(cols["n_pred"], pa.int64()),
+                "n_correct": pa.array(cols["n_correct"], pa.int64()),
+                "prec": pa.array(prec, pa.float64()),
+                "rec": pa.array(rec, pa.float64()),
+                "f1": pa.array(f1, pa.float64()),
+            }
+        )
+
+    return (
+        _hash_parts(combined, ["doc_id"], num_partitions)
+        .map_batches(_ner_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1405,3 +1405,53 @@ def q_quantile_sketch(sf_dir: str):
         group_key="event_type", value_key="value",
         qs=(0.5, 0.9, 0.99), bins=4096,
     )
+
+
+def q_ner_f1(sf_dir: str):
+    """Entity-level NER F1 over deterministic rule-derived entities:
+    gt tags OBJ={table,line,row}, ADJ={fast,slow,big,small} at their
+    1-based token positions; the 'predictor' is a noisy rule (misses
+    'row'/'big'/'small', false-positives 'value'). Exercises the exact
+    (doc_id, category, start, end) span-membership semantics of the
+    reference metric (ner_metric.py:43-113) end to end."""
+    from ..corpus import flat_tokens
+    from .evaluate import ner_f1_eval
+
+    GT = {"table": "OBJ", "line": "OBJ", "row": "OBJ",
+          "fast": "ADJ", "slow": "ADJ", "big": "ADJ", "small": "ADJ"}
+    PRED = {"table": "OBJ", "line": "OBJ",
+            "fast": "ADJ", "slow": "ADJ", "value": "ADJ"}
+
+    def entities(rule):
+        def fn(batch: pa.Table) -> pa.Table:
+            toks, rows, _ = flat_tokens(batch["text"])
+            doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+            # 1-based position within each doc (matches SQL
+            # generate_subscripts over the regexp token list)
+            starts = np.flatnonzero(
+                np.concatenate(([True], rows[1:] != rows[:-1]))
+            ) if len(rows) else np.array([], dtype=np.int64)
+            seg_len = np.diff(np.concatenate((starts, [len(rows)])))
+            pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, seg_len) + 1
+            denc = toks.dictionary_encode()
+            dcats = [rule.get(t) for t in denc.dictionary.to_pylist()]
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            hit = np.fromiter((c is not None for c in dcats), dtype=bool,
+                              count=len(dcats))
+            m = hit[codes] if len(codes) else np.array([], dtype=bool)
+            cat = [dcats[c] for c in codes[m]]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(doc[rows[m]], pa.int64()),
+                    "category": pa.array(cat, pa.string()),
+                    "start": pa.array(pos[m], pa.int64()),
+                    "end": pa.array(pos[m], pa.int64()),
+                }
+            )
+
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    gt = docs.map_batches(entities(GT), batch_format="pyarrow")
+    pred = docs.map_batches(entities(PRED), batch_format="pyarrow")
+    return ner_f1_eval(gt, pred)

@@ -120,3 +120,56 @@ def test_hmean_ic13_empty_gt_edge():
         {"hit_recall": 0, "hit_precision": 0, "gt_care": 0, "pred_care": 3}
     )
     assert m["recall"] == 1.0 and m["precision"] == 0.0 and m["hmean"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# entity-level NER F1 (ner_metric.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_ner_f1_reference_semantics(ray_session):
+    """Pins the reference's membership rule: duplicate predictions each
+    count as correct when present in gt (so recall can exceed 1),
+    pred-only categories are excluded from per-category rows but count
+    in 'all', and doc co-location survives a multi-block layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.pipelines.evaluate import ner_f1_eval
+
+    def tbl(rows):
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "category": pa.array([r[1] for r in rows], pa.string()),
+                "start": pa.array([r[2] for r in rows], pa.int64()),
+                "end": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    gt = tbl([(0, "A", 1, 2), (1, "B", 1, 1), (1, "A", 4, 5)])
+    pred = tbl(
+        [
+            (0, "A", 1, 2), (0, "A", 1, 2),  # duplicate correct pred
+            (0, "B", 3, 3),                  # wrong span
+            (1, "A", 4, 5),
+            (1, "C", 9, 9),                  # pred-only category
+        ]
+    )
+    out = ner_f1_eval(
+        ray.data.from_arrow(gt).repartition(2),
+        ray.data.from_arrow(pred).repartition(3),
+    ).take_all()
+    by = {r["category"]: r for r in out}
+    assert set(by) == {"A", "B", "all"}  # C has no gt row
+    a = by["A"]
+    assert (a["n_gt"], a["n_pred"], a["n_correct"]) == (2, 3, 3)
+    assert a["rec"] == 1.5 and a["prec"] == 1.0  # reference allows rec > 1
+    assert a["f1"] == 1.2
+    b = by["B"]
+    assert (b["n_gt"], b["n_pred"], b["n_correct"]) == (1, 1, 0)
+    assert b["prec"] == 0.0 and b["rec"] == 0.0 and b["f1"] == 0.0
+    al = by["all"]
+    assert (al["n_gt"], al["n_pred"], al["n_correct"]) == (3, 5, 3)
+    assert al["prec"] == 0.6 and al["rec"] == 1.0
+    assert al["f1"] == 0.75
