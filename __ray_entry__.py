@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": Q.q_inverted_index,
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
         "ner_f1": Q.q_ner_f1,
+        "bigram_lm": Q.q_bigram_lm,
     }
 
 
@@ -751,6 +752,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(count(*) AS BIGINT) AS df,
                array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
         FROM t GROUP BY token HAVING count(*) >= 2
+        """,
+        "bigram_lm": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents)
+        ),
+        big AS (
+          SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        cu AS (SELECT w1, sum(c) AS cu FROM bc GROUP BY w1),
+        vv AS (SELECT count(*) AS v FROM
+                 (SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc)),
+        scored AS (
+          SELECT big.doc_id, ln((bc.c + 0.5) / (cu.cu + 0.5 * vv.v)) AS lp
+          FROM big JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp
+        FROM scored GROUP BY doc_id
         """,
         "ner_f1": r"""
         WITH toks AS (

@@ -824,3 +824,115 @@ def curate(docs_ds, lang: str = "en", min_tokens: int = 30,
     return broadcast_semi_anti_join(
         kept, key="doc_id", build_keys_ds=contam, build_key="doc_id", anti=True
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def bigram_counts(docs_ds):
+    """Global adjacent-token-pair counts as a Dataset of
+    ``(pair:'w1\\x00w2', c:int64)``: per-block Arrow ``value_counts``
+    partials, then a vocabulary²-sized combine on one block. At web
+    scale cap the model vocabulary first (map rare tokens to <unk>) or
+    hash-exchange the partials on pair, as :func:`inverted_index` does
+    for tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, rows, _ = flat_tokens(batch["text"])
+        if len(toks) < 2:
+            return pa.Table.from_pydict(
+                {"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        same = pa.array(rows[1:] == rows[:-1])
+        w1 = toks.slice(0, len(toks) - 1).filter(same)
+        w2 = toks.slice(1, len(toks) - 1).filter(same)
+        pair = pc.binary_join_element_wise(w1, w2, "\x00")
+        vc = pair.value_counts()
+        return pa.Table.from_pydict(
+            {"pair": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("pair").aggregate([("c", "sum")])
+        return g.rename_columns(["pair", "c"])
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def bigram_lm_scores(docs_ds, k: float = 0.5):
+    """Per-doc mean log-probability under an add-k-smoothed corpus
+    bigram model — the distributed form of the n-gram-LM quality filter
+    (CCNet-style perplexity ranking): train pass = :func:`bigram_counts`
+    (tiny combined table), score pass = one vectorized map with the
+    model broadcast via ``ray.put``.
+
+    lp(w1,w2) = ln((c(w1,w2)+k) / (c(w1,·)+k·V)) with V = distinct
+    tokens among bigram participants; a doc's score is the mean over its
+    adjacent pairs (docs with <2 tokens drop out, as in the SQL twin).
+    The model table is vocabulary²-sized — broadcast-safe by the same
+    assumption as the TF-IDF DF table; cap the vocabulary before
+    training when that stops holding."""
+    import ray
+
+    bc_pd = bigram_counts(docs_ds).to_pandas()  # vocab^2-sized
+    pairs = bc_pd["pair"].to_numpy()
+    lefts = np.array([p.split("\x00", 1)[0] for p in pairs], dtype=object)
+    rights = np.array([p.split("\x00", 1)[1] for p in pairs], dtype=object)
+    c_map = dict(zip(pairs, bc_pd["c"].to_numpy()))
+    cu_map = bc_pd.assign(w1=lefts).groupby("w1")["c"].sum().to_dict()
+    v = len(set(lefts) | set(rights))
+    model_ref = ray.put((c_map, cu_map, v))
+
+    def score(batch: pa.Table, model_ref=model_ref) -> pa.Table:
+        c_map, cu_map, v = (
+            ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        )
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "avg_logp": pa.array([], pa.float64()),
+            }
+        )
+        toks, rows, n_rows = flat_tokens(batch["text"])
+        if len(toks) < 2:
+            return empty
+        same = rows[1:] == rows[:-1]
+        if not same.any():
+            return empty
+        w1 = toks.slice(0, len(toks) - 1).filter(pa.array(same))
+        w2 = toks.slice(1, len(toks) - 1).filter(pa.array(same))
+        prow = rows[1:][same]
+        pair = pc.binary_join_element_wise(w1, w2, "\x00")
+        denc = pair.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        dict_pairs = denc.dictionary.to_pylist()
+        lut_c = np.array([c_map.get(p, 0) for p in dict_pairs], dtype=np.float64)
+        lut_cu = np.array(
+            [cu_map.get(p.split("\x00", 1)[0], 0) for p in dict_pairs],
+            dtype=np.float64,
+        )
+        lp = np.log((lut_c[codes] + k) / (lut_cu[codes] + k * v))
+        cnt = np.bincount(prow, minlength=n_rows)
+        sums = np.bincount(prow, weights=lp, minlength=n_rows)
+        nz = cnt > 0
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        from .functions.num import round_away
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc[nz], pa.int64()),
+                "n_bigrams": pa.array(cnt[nz], pa.int64()),
+                "avg_logp": pa.array(
+                    round_away(sums[nz] / cnt[nz], 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1455,3 +1455,12 @@ def q_ner_f1(sf_dir: str):
     gt = docs.map_batches(entities(GT), batch_format="pyarrow")
     pred = docs.map_batches(entities(PRED), batch_format="pyarrow")
     return ner_f1_eval(gt, pred)
+
+
+def q_bigram_lm(sf_dir: str):
+    """Per-doc mean log-prob under the corpus's own add-0.5-smoothed
+    bigram model (perplexity-style quality ranking): distributed count
+    pass -> broadcast model -> vectorized scoring pass."""
+    from ..corpus import bigram_lm_scores
+
+    return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)

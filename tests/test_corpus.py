@@ -436,3 +436,29 @@ def test_inverted_index_df_and_postings(ray_session):
         ray.data.from_arrow(t).repartition(3), k=5, min_df=2, num_partitions=3
     ).take_all()
     assert {r["token"]: (r["df"], r["postings"]) for r in hashed} == got
+
+
+def test_bigram_lm_hand_model(ray_session):
+    """Model counts and smoothing verified by hand: bc={(a,b):3,(b,a):1,
+    (x,y):1}, cu={a:3,b:1,x:1}, V=4; docs with <2 tokens drop out."""
+    import math
+
+    import ray.data
+
+    from my_ocr_ray.corpus import bigram_lm_scores
+
+    t = _docs_table(["a b a b", "a b", "x y", "solo"], ids=[0, 1, 2, 3])
+    out = bigram_lm_scores(
+        ray.data.from_arrow(t).repartition(3), k=0.5
+    ).take_all()
+    by = {r["doc_id"]: r for r in out}
+    assert set(by) == {0, 1, 2}  # 1-token doc has no bigram
+    lp_ab = math.log(3.5 / (3 + 0.5 * 4))
+    lp_ba = math.log(1.5 / (1 + 0.5 * 4))
+    lp_xy = math.log(1.5 / (1 + 0.5 * 4))
+    assert by[0]["n_bigrams"] == 3
+    assert abs(by[0]["avg_logp"] - (2 * lp_ab + lp_ba) / 3) < 1e-6
+    assert abs(by[1]["avg_logp"] - lp_ab) < 1e-6
+    assert abs(by[2]["avg_logp"] - lp_xy) < 1e-6
+    # frequent transitions score higher than rare ones
+    assert by[1]["avg_logp"] > by[2]["avg_logp"]
