@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
         "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
+        "passage_dedup": Q.q_passage_dedup,
     }
 
 
@@ -752,6 +753,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(count(*) AS BIGINT) AS df,
                array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings
         FROM t GROUP BY token HAVING count(*) >= 2
+        """,
+        "passage_dedup": r"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                   FROM documents),
+        c0 AS (SELECT doc_id, l,
+                 unnest(generate_series(0,
+                   CAST(ceil(len(l) / 20.0) AS BIGINT) - 1)) AS ci
+               FROM d),
+        c AS (SELECT doc_id, ci,
+                md5(array_to_string(l[(ci*20+1):(ci*20+20)], ' ')) AS h
+              FROM c0),
+        own AS (SELECT h, min(doc_id * 1000000 + ci) AS firstkey
+                FROM c GROUP BY h)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+               CAST(sum(CASE WHEN c.doc_id * 1000000 + c.ci > o.firstkey
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(CAST(sum(CASE WHEN c.doc_id * 1000000 + c.ci > o.firstkey
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        FROM c JOIN own o USING (h)
+        GROUP BY c.doc_id
         """,
         "bigram_lm": r"""
         WITH toks AS (

@@ -536,3 +536,145 @@ def dedup_clusters(docs_ds, num_hashes: int = 8, band_size: int = 2, k: int = 3)
         docs_ds, num_hashes=num_hashes, band_size=band_size, k=k
     )
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (CCNet-style repeated-paragraph removal)
+# ---------------------------------------------------------------------------
+
+_CI_BOUND = 1_000_000  # max passages per doc for the (doc_id, ci) packing
+
+
+def passage_dedup(docs_ds, chunk: int = 20, num_partitions: int | None = None):
+    """Per-document repeated-passage statistics: split each doc's token
+    stream into consecutive ``chunk``-token passages (last one shorter)
+    and count, per doc, how many of its passages already occur earlier
+    in the corpus — passage-granular exact dedup (the CCNet/C4 repeated-
+    paragraph pass), keyed on md5(passage).
+
+    "Earlier" = canonical first owner, the lexicographic min
+    ``(doc_id, ci)`` packed as ``doc_id * 1e6 + ci`` (docs are assumed
+    under 1M passages). Deterministic across runs and block layouts.
+
+    Shape: passages hash md5 map-side, so the first exchange ships only
+    ``(doc_id, ci, h)`` rows — never passage text; per-h ownership is a
+    vectorized per-block min after the hash exchange; per-doc counts
+    then exchange once more as pre-aggregated skinny partials.
+    Output: (doc_id, n_passages, n_dup, dup_frac)."""
+    import hashlib
+
+    from .corpus import flat_tokens
+    from .windows import _hash_parts
+
+    def passages(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "ci": pa.array([], pa.int64()),
+                "h": pa.array([], pa.string()),
+            }
+        )
+        toks, rows, _ = flat_tokens(batch["text"])
+        if not len(toks):
+            return empty
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(rows)])))
+        pos0 = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, seg_len)
+        ci = pos0 // chunk
+        brk = np.concatenate(
+            ([True], (rows[1:] != rows[:-1]) | (ci[1:] != ci[:-1]))
+        )
+        p_start = np.flatnonzero(brk)
+        offsets = np.concatenate((p_start, [len(rows)])).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), toks.combine_chunks()
+                                     if isinstance(toks, pa.ChunkedArray) else toks),
+            " ",
+        )
+        hexes = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc[rows[p_start]], pa.int64()),
+                "ci": pa.array(ci[p_start], pa.int64()),
+                "h": pa.array(hexes, pa.string()),
+            }
+        )
+
+    def owner_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        denc = batch["h"].combine_chunks().dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ci = batch["ci"].to_numpy(zero_copy_only=False)
+        key = doc * _CI_BOUND + ci
+        first = np.full(len(denc.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, key)
+        is_dup = key > first[codes]
+        dd = pa.array(doc).dictionary_encode()
+        dcodes = np.asarray(dd.indices, dtype=np.int64)
+        nd = len(dd.dictionary)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(dd.dictionary, pa.int64()),
+                "n": pa.array(np.bincount(dcodes, minlength=nd), pa.int64()),
+                "n_dup": pa.array(
+                    np.bincount(dcodes[is_dup], minlength=nd), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_passages": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        dd = batch["doc_id"].combine_chunks().dictionary_encode()
+        dcodes = np.asarray(dd.indices, dtype=np.int64)
+        nd_dict = len(dd.dictionary)
+        n = np.bincount(
+            dcodes,
+            weights=batch["n"].to_numpy(zero_copy_only=False),
+            minlength=nd_dict,
+        ).astype(np.int64)
+        nd = np.bincount(
+            dcodes,
+            weights=batch["n_dup"].to_numpy(zero_copy_only=False),
+            minlength=nd_dict,
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(dd.dictionary, pa.int64()),
+                "n_passages": pa.array(n, pa.int64()),
+                "n_dup": pa.array(nd, pa.int64()),
+                "dup_frac": pa.array(
+                    round_away(nd / n.astype(np.float64), 6), pa.float64()
+                ),
+            }
+        )
+
+    parts = _hash_parts(
+        docs_ds.map_batches(passages, batch_format="pyarrow"),
+        ["h"],
+        num_partitions,
+    ).map_batches(owner_counts, batch_format="pyarrow", batch_size=None)
+    # second skinny exchange co-locates each doc's per-block partials; the
+    # combine is one vectorized bincount per block (a Ray groupby here
+    # would spawn a second, default-sized aggregator pool on top of the
+    # HASH_SHUFFLE pools above and can deadlock a small cluster)
+    return _hash_parts(parts, ["doc_id"], num_partitions).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -1464,3 +1464,12 @@ def q_bigram_lm(sf_dir: str):
     from ..corpus import bigram_lm_scores
 
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
+
+
+def q_passage_dedup(sf_dir: str):
+    """Passage-granular exact dedup statistics: 20-token passages keyed
+    on md5, canonical first owner = lexicographic min (doc_id, ci);
+    per-doc duplicated-passage counts and fraction."""
+    from ..dedup import passage_dedup
+
+    return passage_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), chunk=20)

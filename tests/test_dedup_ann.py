@@ -325,3 +325,37 @@ def test_dedup_clusters_groups_known_near_dups(ray_session):
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     # exact copies 0 and 3 must share a cluster rooted at 0
     assert got[0] == 0 and got[3] == 0
+
+
+def test_passage_dedup_first_owner(ray_session):
+    """Canonical owner is the lexicographic (doc_id, ci) min, including
+    within-document repeats; counts survive a multi-block layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import passage_dedup
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f",            # owners of "a b c", "d e f"
+                    "a b c x",                # 1 dup + unique tail
+                    "d e f",                  # 1 dup
+                    "a b c a b c a b c",      # 3 dups of doc0's passage
+                    "q q q q q q",            # intra-doc: ci0 owns, ci1 dup
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = passage_dedup(
+        ray.data.from_arrow(t).repartition(3), chunk=3
+    ).take_all()
+    by = {r["doc_id"]: (r["n_passages"], r["n_dup"], r["dup_frac"]) for r in out}
+    assert by[0] == (2, 0, 0.0)
+    assert by[1] == (2, 1, 0.5)
+    assert by[2] == (1, 1, 1.0)
+    assert by[3] == (3, 3, 1.0)
+    assert by[4] == (2, 1, 0.5)
