@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
         "passage_dedup": Q.q_passage_dedup,
+        "simhash_dups": Q.q_simhash_dups,
     }
 
 
@@ -773,6 +774,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         FROM c JOIN own o USING (h)
         GROUP BY c.doc_id
+        """,
+        "simhash_dups": r"""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+              FROM t),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h, unnest(generate_series(0, 63)) AS u(i)
+          GROUP BY doc_id, i),
+        vals AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0
+                             THEN (CAST(1 AS UBIGINT) << i)
+                             ELSE CAST(0 AS UBIGINT) END) AS sh
+          FROM bits GROUP BY doc_id),
+        sh AS (SELECT d.doc_id, coalesce(v.sh, 0) AS sh
+               FROM documents d LEFT JOIN vals v USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "bigram_lm": r"""
         WITH toks AS (

@@ -287,19 +287,24 @@ def image_ahash_table(media_ds, grid: int = 8):
     return media_ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
-def image_dup_pairs(media_ds, max_hamming: int = 3, n_bands: int = 4):
-    """Near-duplicate image pairs via banded hamming-LSH over the 64-bit
-    aHash: split each hash into ``n_bands`` equal bit-bands; two hashes
-    within hamming distance ``n_bands - 1`` MUST agree on at least one
-    band (pigeonhole), so bucketing by (band index, band bits) finds every
-    such pair without an all-pairs scan. In-bucket verification is a
-    vectorized XOR+popcount; duplicate pair emissions (same pair from
-    multiple bands) collapse in a final tiny groupby — the same shape as
-    the MinHash-LSH text path (``lsh_candidate_pairs``)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+def hamming_lsh_pairs(hashed_ds, id_col: str, hash_col: str,
+                      max_hamming: int = 3, n_bands: int = 4,
+                      out_a: str = "id_a", out_b: str = "id_b",
+                      include_hamming: bool = False,
+                      num_partitions: int | None = None):
+    """Generic banded hamming-LSH over a 64-bit hash column: split each
+    hash into ``n_bands`` equal bit-bands; two hashes within hamming
+    distance ``n_bands - 1`` MUST agree on at least one band
+    (pigeonhole), so bucketing by (band index, band bits) finds every
+    such pair without an all-pairs scan.
 
-    from ray.data.aggregate import Count
+    Fully vectorized end to end: band explode is an Arrow concat, the
+    bucket pairing runs once per hash-exchanged block (segment-offset
+    arithmetic builds every intra-bucket pair in one shot — no per-group
+    dispatch), hamming is XOR+popcount over the whole pair list, and the
+    cross-band pair dedup is a second skinny hash exchange + per-block
+    Arrow group_by. Shared by the image-aHash and text-SimHash paths."""
+    from .windows import _hash_parts
 
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -307,73 +312,139 @@ def image_dup_pairs(media_ds, max_hamming: int = 3, n_bands: int = 4):
             f"hamming <= {n_bands - 1}"
         )
     band_bits = 64 // n_bands
-    hashed = image_ahash_table(media_ds)
+    mask = np.uint64((1 << band_bits) - 1)
 
     def bands(batch: pa.Table) -> pa.Table:
-        h = batch["ahash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        n = len(h)
-        refs = batch["media_ref"]
-        out_ref, out_hash, out_key = [], [], []
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        parts = []
         for b in range(n_bands):
-            band = (h >> np.uint64(b * band_bits)) & np.uint64(
-                (1 << band_bits) - 1
+            band = (h >> np.uint64(b * band_bits)) & mask
+            key = (band.astype(np.int64) << np.int64(4)) | np.int64(b)
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        id_col: ids,
+                        hash_col: batch[hash_col],
+                        "band_key": pa.array(key, pa.int64()),
+                    }
+                )
             )
-            key = (band.astype(np.int64) << np.int64(3)) | np.int64(b)
-            out_ref.append(refs)
-            out_hash.append(batch["ahash"])
-            out_key.append(pa.array(key, pa.int64()))
+        return pa.concat_tables(parts)
+
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        ham = np.zeros(len(x), dtype=np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - np.uint64(1))
+        return ham
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        empty = pa.Table.from_pydict(
+            {
+                out_a: pa.array([], ids_arr.type),
+                out_b: pa.array([], ids_arr.type),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        n = batch.num_rows
+        if n < 2:
+            return empty
+        key = batch["band_key"].to_numpy(zero_copy_only=False)
+        idv = np.asarray(ids_arr.to_pylist(), dtype=object)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((idv, key))
+        key, idv, h = key[order], idv[order], h[order]
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+        total = int(rank.sum())
+        if total == 0:
+            return empty
+        second = np.repeat(np.arange(n, dtype=np.int64), rank)
+        offs = np.concatenate(([0], np.cumsum(rank)))
+        first = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], rank)
+            + np.repeat(np.repeat(starts, seg_len), rank)
+        )
+        ham = _popcount(h[first] ^ h[second])
+        keep = ham <= max_hamming
         return pa.Table.from_pydict(
             {
-                "media_ref": pa.concat_arrays(
-                    [r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
-                     for r in out_ref]
-                ),
-                "ahash": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                     for a in out_hash]
-                ),
-                "band_key": pa.concat_arrays([k for k in out_key]),
+                out_a: pa.array(idv[first[keep]].tolist(), ids_arr.type),
+                out_b: pa.array(idv[second[keep]].tolist(), ids_arr.type),
+                "hamming": pa.array(ham[keep], pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        refs = np.asarray(group["media_ref"].to_pylist(), dtype=object)
-        h = group["ahash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(refs, kind="stable")
-        refs, h = refs[order], h[order]
-        n = len(refs)
-        out_a, out_b = [], []
-        if n > 1:
-            ii, jj = np.triu_indices(n, k=1)
-            ham = np.zeros(len(ii), dtype=np.int64)
-            x = h[ii] ^ h[jj]
-            while True:
-                nz = x != 0
-                if not nz.any():
-                    break
-                ham[nz] += 1
-                x = x & (x - np.uint64(1))
-            keep = ham <= max_hamming
-            out_a = refs[ii[keep]].tolist()
-            out_b = refs[jj[keep]].tolist()
-        return pa.Table.from_pydict(
-            {
-                "ref_a": pa.array(out_a, pa.string()),
-                "ref_b": pa.array(out_b, pa.string()),
-            }
-        )
+    def distinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([out_a, out_b]).aggregate([("hamming", "min")])
+        g = g.rename_columns([out_a, out_b, "hamming"])
+        return g if include_hamming else g.select([out_a, out_b])
 
-    pairs = (
-        hashed.map_batches(bands, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = _hash_parts(
+        hashed_ds.map_batches(bands, batch_format="pyarrow"),
+        ["band_key"],
+        num_partitions,
+    ).map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
+    return _hash_parts(pairs, [out_a, out_b], num_partitions).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None
     )
-    agg = pairs.groupby(["ref_a", "ref_b"]).aggregate(Count())
 
-    def strip(batch: pa.Table) -> pa.Table:
-        return batch.select(["ref_a", "ref_b"])
 
-    return agg.map_batches(strip, batch_format="pyarrow")
+def image_dup_pairs(media_ds, max_hamming: int = 3, n_bands: int = 4):
+    """Near-duplicate image pairs via banded hamming-LSH over the 64-bit
+    aHash — the image analog of the MinHash-LSH text path
+    (``lsh_candidate_pairs``); pairing machinery shared with the text
+    SimHash path via :func:`hamming_lsh_pairs`."""
+    return hamming_lsh_pairs(
+        image_ahash_table(media_ds),
+        "media_ref",
+        "ahash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        out_a="ref_a",
+        out_b="ref_b",
+    )
+
+
+def simhash_u64_table(docs_ds):
+    """(doc_id, sh:uint64) SimHash values (``simhash64_batch``)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        hs = simhash64_batch(batch["text"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array(hs.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4):
+    """Near-duplicate doc pairs by SimHash hamming distance via banded
+    LSH (guaranteed-recall for hamming <= n_bands-1): (id_a, id_b,
+    hamming) with id_a < id_b, deduped across bands. The third member
+    of the near-dup family next to MinHash-LSH (shingle Jaccard) and
+    embedding cosine buckets."""
+    return hamming_lsh_pairs(
+        simhash_u64_table(docs_ds),
+        "doc_id",
+        "sh",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        include_hamming=True,
+    )
 
 
 # ---------------------------------------------------------------------------

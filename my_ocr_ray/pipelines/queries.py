@@ -1473,3 +1473,14 @@ def q_passage_dedup(sf_dir: str):
     from ..dedup import passage_dedup
 
     return passage_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), chunk=20)
+
+
+def q_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs via banded hamming-LSH (4 x 16-bit bands,
+    guaranteed recall for hamming <= 3): (id_a, id_b, hamming), the
+    bit-fingerprint member of the near-dup family."""
+    from ..dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3, n_bands=4
+    )

@@ -359,3 +359,41 @@ def test_passage_dedup_first_owner(ray_session):
     assert by[2] == (1, 1, 1.0)
     assert by[3] == (3, 3, 1.0)
     assert by[4] == (2, 1, 0.5)
+
+
+def test_simhash_dup_pairs_recall_and_dedup(ray_session):
+    """Banded hamming-LSH over SimHash: every pair within the hamming
+    budget appears exactly ONCE (cross-band dedup), ordered id_a < id_b,
+    and the reported hamming equals a direct popcount of the xor."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import simhash_dup_pairs
+    from my_ocr_ray.functions.textproc import simhash64_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "completely unrelated words about arrow kernels",
+        "streaming shuffle exchange with hash partitions",
+    ]
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = simhash_dup_pairs(
+        ray.data.from_arrow(t), max_hamming=3, n_bands=4
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert len(got) == len(out)  # no duplicate pair emissions survive
+
+    hs = simhash64_batch(texts)
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+            if d <= 3:
+                expect[(i, j)] = d
+    assert got == expect
+    assert (0, 2) in got and got[(0, 2)] == 0  # exact dup pair surfaced
