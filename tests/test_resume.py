@@ -72,3 +72,58 @@ def test_manifest_lineage_contents(corpus_dirs, ray_session, tmp_path):
     assert m["metrics"]["spans"] >= m["metrics"]["media_spans"] >= 0
     assert all(os.path.exists(f) for f in m["input_files"])
     assert m["wall_sec"] > 0
+
+
+def test_dirty_kill_orphans_are_cleared(corpus_dirs, ray_session, tmp_path):
+    """A kill AFTER write_parquet starts but BEFORE the manifest lands
+    leaves uuid-named orphan files in the partition dir; the resume must
+    clear them, not append alongside (which would duplicate documents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from my_ocr_ray.state.manifest import part_dir
+
+    docs_dir, media_path, expected = corpus_dirs
+    out_dir = str(tmp_path / "out3")
+    kw = dict(num_partitions=4, ocr_concurrency=2)
+    run_extract_partitioned(docs_dir, media_path, out_dir, max_partitions=2, **kw)
+
+    # simulate the dirty kill: partition 2 incomplete (no manifest) but its
+    # directory already holds output from the killed attempt — use a copy of
+    # a completed partition's file so the stale rows are realistic documents
+    done_pid = sorted(completed_partitions(out_dir))[0]
+    stale_src = next(
+        f for f in os.listdir(part_dir(out_dir, done_pid)) if f.endswith(".parquet")
+    )
+    pdir = part_dir(out_dir, 2)
+    os.makedirs(pdir, exist_ok=True)
+    stale = pq.read_table(os.path.join(part_dir(out_dir, done_pid), stale_src))
+    pq.write_table(stale, os.path.join(pdir, "orphan-from-killed-run.parquet"))
+
+    run_extract_partitioned(docs_dir, media_path, out_dir, **kw)
+    assert not os.path.exists(os.path.join(pdir, "orphan-from-killed-run.parquet"))
+
+    got = {
+        r["doc_id"]: [dict(s) for s in r["spans"]]
+        for r in read_output(out_dir).take_all()
+    }
+    exp = {r["doc_id"]: r["spans"] for r in expected.to_pylist()}
+    assert got == exp  # dict equality also proves no duplicated doc_ids
+
+    total = read_output(out_dir).count()
+    assert total == len(exp)  # and no extra rows survive anywhere
+
+
+def test_resume_with_different_partition_count_rejected(
+    corpus_dirs, ray_session, tmp_path
+):
+    docs_dir, media_path, _ = corpus_dirs
+    out_dir = str(tmp_path / "out4")
+    run_extract_partitioned(
+        docs_dir, media_path, out_dir, num_partitions=4,
+        ocr_concurrency=2, max_partitions=1,
+    )
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_extract_partitioned(
+            docs_dir, media_path, out_dir, num_partitions=2, ocr_concurrency=2
+        )
