@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": Q.q_embedding_centroids,
         "ann_topk": Q.q_ann_topk,
         "ann_ivf": Q.q_ann_ivf,
+        "knn_graph": Q.q_knn_graph,
         # corpus family (round 2)
         "ngram_topk": Q.q_ngram_topk,
         "decontaminate": Q.q_decontaminate,
@@ -535,6 +536,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id,
                round(sim, 6) AS sim
         FROM r WHERE rn <= 5
+        """,
+        "knn_graph": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                     list_cosine_similarity(a.ve, b.ve) AS sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, nbr_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nbr_id) AS rn
+              FROM s)
+        SELECT vec_id, CAST(rn AS BIGINT) AS rank, nbr_id,
+               round(sim, 6) AS sim
+        FROM r WHERE rn <= 3
         """,
         "simhash": r"""
         WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

@@ -101,6 +101,76 @@ def brute_force_topk(emb_ds, queries_ref, k: int = 5):
     )
 
 
+class _KnnSelfJoin:
+    """Actor stage for the kNN self-join: assemble the build side ONCE per
+    actor from object-store block refs (zero-copy Arrow on the same node),
+    then every streamed batch joins against it in one matmul."""
+
+    def __init__(self, build_refs, k: int):
+        import ray
+
+        tables = [t for t in ray.get(list(build_refs)) if t.num_rows]
+        self.ids = np.concatenate(
+            [t["vec_id"].to_numpy(zero_copy_only=False) for t in tables]
+        )
+        self.mat = _unit(np.vstack([_batch_vectors(t) for t in tables]))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(_batch_vectors(batch))
+        qids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vecs @ self.mat.T  # (B, N)
+        out_src, out_rank, out_dst, out_sim = [], [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            mask = self.ids != qids[i]  # exclude self by id
+            sub_ids, sub = self.ids[mask], row[mask]
+            order = np.lexsort((sub_ids, -sub))[: self.k]
+            for rank, j in enumerate(order, 1):
+                out_src.append(int(qids[i]))
+                out_rank.append(rank)
+                out_dst.append(int(sub_ids[j]))
+                out_sim.append(round_away_scalar(float(sub[j]), 6))
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(out_src, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "nbr_id": pa.array(out_dst, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def knn_graph(emb_ds, k: int = 3, concurrency: int = 4):
+    """Exact cosine kNN self-join -> (vec_id, rank, nbr_id, sim): each
+    vector's ``k`` nearest OTHER vectors, ties broken by neighbor id.
+
+    The build side is the same dataset shared as object-store block refs
+    (``to_arrow_refs`` — the driver holds refs, never rows); each actor
+    materializes (ids, unit matrix) once in ``__init__``. ZERO exchange:
+    every output row leaves its task already final, so shuffle volume is 0
+    and compute is the unavoidable O(n^2) matmul spread across the pool.
+
+    100-TB path: an all-pairs build side cannot be broadcast at corpus
+    scale — swap the build state for IVF cells (``train_ivf_centroids`` +
+    a cell-keyed exchange, probing adjacent cells; same output schema,
+    approximate recall). This exact kernel remains the per-cell inner loop.
+    """
+    import ray
+
+    refs = emb_ds.to_arrow_refs()
+    # leave >=1 CPU for upstream read/repartition tasks: a pool that takes
+    # every core deadlocks the streaming executor on small clusters
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    concurrency = max(1, min(concurrency, cpus - 1))
+    return emb_ds.map_batches(
+        _KnnSelfJoin,
+        batch_format="pyarrow",
+        fn_constructor_args=(refs, k),
+        concurrency=concurrency,
+    )
+
+
 def train_ivf_centroids(
     emb_ds, n_centroids: int, n_iters: int = 5, seed_rows: int | None = None
 ):

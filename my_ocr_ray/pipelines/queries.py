@@ -1484,3 +1484,11 @@ def q_simhash_dups(sf_dir: str):
     return simhash_dup_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3, n_bands=4
     )
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine kNN self-join over the embeddings table: for every
+    vector its 3 nearest other vectors, (vec_id, rank, nbr_id, sim)."""
+    from ..ann import knn_graph
+
+    return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3)

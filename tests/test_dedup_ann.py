@@ -397,3 +397,39 @@ def test_simhash_dup_pairs_recall_and_dedup(ray_session):
                 expect[(i, j)] = d
     assert got == expect
     assert (0, 2) in got and got[(0, 2)] == 0  # exact dup pair surfaced
+
+
+def test_knn_graph_exact_neighbors(ray_session):
+    """kNN self-join: self excluded, duplicate vector is each other's top-1
+    with sim 1.0, ranks dense per source, matches a numpy oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.ann import knn_graph
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[7] = vecs[3]  # exact duplicate pair
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = knn_graph(ray.data.from_arrow(t).repartition(3), k=2).take_all()
+    got = {(r["vec_id"], r["rank"]): (r["nbr_id"], r["sim"]) for r in out}
+    assert len(got) == 40  # 20 sources x 2 ranks, no collisions
+    assert all(src != nbr for (src, _), (nbr, _) in got.items())
+    assert got[(3, 1)][0] == 7 and got[(3, 1)][1] == 1.0
+    assert got[(7, 1)][0] == 3 and got[(7, 1)][1] == 1.0
+
+    u = vecs.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1)[:, None]
+    sims = u @ u.T
+    for src in range(20):
+        order = [
+            j for j in np.lexsort((np.arange(20), -sims[src])) if j != src
+        ][:2]
+        assert [got[(src, r)][0] for r in (1, 2)] == order
