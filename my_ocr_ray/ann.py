@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .functions.num import round_away_scalar
+from .functions.num import round_away, round_away_scalar
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -25,6 +25,17 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 def _batch_vectors(batch: pa.Table) -> np.ndarray:
     return np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+
+
+
+def _pool_size(requested: int) -> int:
+    """Cap an actor pool below the cluster CPU count: a pool that takes
+    every core starves upstream read/exchange tasks and deadlocks the
+    streaming executor on small clusters."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(requested, cpus - 1))
 
 
 class _TopKPartial:
@@ -94,7 +105,7 @@ def brute_force_topk(emb_ds, queries_ref, k: int = 5):
         _TopKPartial,
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref, k),
-        concurrency=4,
+        concurrency=_pool_size(4),
     )
     return partial.groupby("query_id").map_groups(
         _final_topk_factory(k), batch_format="pyarrow"
@@ -110,33 +121,36 @@ class _KnnSelfJoin:
         import ray
 
         tables = [t for t in ray.get(list(build_refs)) if t.num_rows]
-        self.ids = np.concatenate(
+        ids = np.concatenate(
             [t["vec_id"].to_numpy(zero_copy_only=False) for t in tables]
         )
-        self.mat = _unit(np.vstack([_batch_vectors(t) for t in tables]))
+        mat = _unit(np.vstack([_batch_vectors(t) for t in tables]))
+        # sort build side by id so a STABLE argsort on -sim breaks ties by
+        # ascending neighbor id via column position alone (no per-row lexsort)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.mat = mat[order]
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _unit(_batch_vectors(batch))
         qids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sims = vecs @ self.mat.T  # (B, N)
-        out_src, out_rank, out_dst, out_sim = [], [], [], []
-        for i in range(len(qids)):
-            row = sims[i]
-            mask = self.ids != qids[i]  # exclude self by id
-            sub_ids, sub = self.ids[mask], row[mask]
-            order = np.lexsort((sub_ids, -sub))[: self.k]
-            for rank, j in enumerate(order, 1):
-                out_src.append(int(qids[i]))
-                out_rank.append(rank)
-                out_dst.append(int(sub_ids[j]))
-                out_sim.append(round_away_scalar(float(sub[j]), 6))
+        b, n = sims.shape
+        # exclude self-matches by id: build side is id-sorted, so the
+        # column of each query id is found by one searchsorted
+        pos = np.searchsorted(self.ids, qids)
+        ok = (pos < n) & (self.ids[np.minimum(pos, n - 1)] == qids)
+        sims[np.flatnonzero(ok), pos[ok]] = -np.inf
+        k = min(self.k, n - 1)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # (B, k)
+        top_sims = np.take_along_axis(sims, top, axis=1)
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(out_src, pa.int64()),
-                "rank": pa.array(out_rank, pa.int64()),
-                "nbr_id": pa.array(out_dst, pa.int64()),
-                "sim": pa.array(out_sim, pa.float64()),
+                "vec_id": pa.array(np.repeat(qids, k), pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1), b), pa.int64()),
+                "nbr_id": pa.array(self.ids[top].ravel(), pa.int64()),
+                "sim": pa.array(round_away(top_sims.ravel(), 6), pa.float64()),
             }
         )
 
@@ -156,13 +170,8 @@ def knn_graph(emb_ds, k: int = 3, concurrency: int = 4):
     a cell-keyed exchange, probing adjacent cells; same output schema,
     approximate recall). This exact kernel remains the per-cell inner loop.
     """
-    import ray
-
     refs = emb_ds.to_arrow_refs()
-    # leave >=1 CPU for upstream read/repartition tasks: a pool that takes
-    # every core deadlocks the streaming executor on small clusters
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    concurrency = max(1, min(concurrency, cpus - 1))
+    concurrency = _pool_size(concurrency)
     return emb_ds.map_batches(
         _KnnSelfJoin,
         batch_format="pyarrow",
@@ -298,7 +307,7 @@ def ivf_topk(emb_ds, queries_ref, centroids: np.ndarray, k: int = 5, nprobe: int
         _ProbedPartial,
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref, k, cmat, nprobe),
-        concurrency=4,
+        concurrency=_pool_size(4),
     )
     return partial.groupby("query_id").map_groups(
         _final_topk_factory(k), batch_format="pyarrow"
