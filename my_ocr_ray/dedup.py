@@ -84,45 +84,96 @@ def _band_rows(batch: pa.Table, num_hashes: int, band_size: int, k: int) -> pa.T
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """All (a < b) doc pairs inside one band bucket (buckets are small by
-    construction; a giant bucket means the band size needs raising)."""
-    a_out, b_out = [], []
-    # group may contain several band buckets — pair within each band only
-    band = np.asarray(group["band"].to_pylist())
-    ids = np.asarray(group["doc_id"].to_pylist())
-    order = np.lexsort((ids, band))
-    band, ids = band[order], ids[order]
-    start = 0
-    for i in range(1, len(band) + 1):
-        if i == len(band) or band[i] != band[start]:
-            members = ids[start:i]
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    a_out.append(members[x])
-                    b_out.append(members[y])
-            start = i
-    return pa.Table.from_pydict(
-        {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-        }
+def _segment_pairs(
+    key: np.ndarray, ids: np.ndarray, max_bucket_rows: int | None = None
+):
+    """All (i < j) positional pairs within each equal-``key`` segment,
+    fully vectorized (segment-offset arithmetic — no per-group dispatch,
+    no Python pair loop).
+
+    Rows are sorted by (key, id) first, so ``first`` always indexes the
+    smaller id of a pair. Returns ``(order, first, second)``: the sort
+    permutation plus pair indices INTO THE SORTED layout; callers reindex
+    payload columns with ``order``. ``max_bucket_rows`` is the in-bucket
+    O(n^2) guard — a larger segment raises with sizing advice instead of
+    silently exploding a worker."""
+    n = len(key)
+    order = np.lexsort((ids, key))
+    key_s = key[order]
+    starts = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+    seg_len = np.diff(np.concatenate((starts, [n])))
+    if (
+        max_bucket_rows is not None
+        and len(seg_len)
+        and seg_len.max() > max_bucket_rows
+    ):
+        raise ValueError(
+            f"LSH bucket holds {int(seg_len.max())} rows (> max_bucket_rows="
+            f"{max_bucket_rows}); raise the band width / plane count to "
+            "split hot buckets before the in-bucket O(n^2) pass"
+        )
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+    second = np.repeat(np.arange(n, dtype=np.int64), rank)
+    offs = np.concatenate(([0], np.cumsum(rank)))
+    first = (
+        np.arange(int(rank.sum()), dtype=np.int64)
+        - np.repeat(offs[:-1], rank)
+        + np.repeat(np.repeat(starts, seg_len), rank)
     )
+    return order, first, second
 
 
 def lsh_candidate_pairs(
-    docs_ds, num_hashes: int = 8, band_size: int = 2, k: int = 3
+    docs_ds,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    num_partitions: int | None = None,
+    max_bucket_rows: int = 100_000,
 ):
-    """-> distinct (doc_a, doc_b) candidate near-duplicate pairs."""
+    """-> distinct (doc_a, doc_b) candidate near-duplicate pairs.
+
+    Scale shape: only skinny (band, doc_id) rows are exchanged (hash
+    partition on band), pair building is the vectorized segment-offset
+    kernel once per block (:func:`_segment_pairs`, shared with the
+    hamming-LSH family), and the cross-band pair dedup is a second skinny
+    exchange + per-block Arrow ``group_by``. A band bucket above
+    ``max_bucket_rows`` raises instead of silently going quadratic."""
+    from .windows import _hash_parts
+
     bands = docs_ds.map_batches(
         _band_rows,
         batch_format="pyarrow",
         fn_kwargs={"num_hashes": num_hashes, "band_size": band_size, "k": k},
     )
-    pairs = bands.groupby("band").map_groups(_bucket_pairs, batch_format="pyarrow")
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    empty = pa.Table.from_pydict(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return empty
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order, first, second = _segment_pairs(band, ids, max_bucket_rows)
+        if len(first) == 0:
+            return empty
+        ids_s = ids[order]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(ids_s[first], pa.int64()),
+                "doc_b": pa.array(ids_s[second], pa.int64()),
+            }
+        )
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    pairs = _hash_parts(bands, ["band"], num_partitions).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None
+    )
+    return _hash_parts(pairs, ["doc_a", "doc_b"], num_partitions).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -360,21 +411,10 @@ def hamming_lsh_pairs(hashed_ds, id_col: str, hash_col: str,
         key = batch["band_key"].to_numpy(zero_copy_only=False)
         idv = np.asarray(ids_arr.to_pylist(), dtype=object)
         h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((idv, key))
-        key, idv, h = key[order], idv[order], h[order]
-        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-        seg_len = np.diff(np.concatenate((starts, [n])))
-        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
-        total = int(rank.sum())
-        if total == 0:
+        order, first, second = _segment_pairs(key, idv)
+        if len(first) == 0:
             return empty
-        second = np.repeat(np.arange(n, dtype=np.int64), rank)
-        offs = np.concatenate(([0], np.cumsum(rank)))
-        first = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(offs[:-1], rank)
-            + np.repeat(np.repeat(starts, seg_len), rank)
-        )
+        idv, h = idv[order], h[order]
         ham = _popcount(h[first] ^ h[second])
         keep = ham <= max_hamming
         return pa.Table.from_pydict(
