@@ -235,7 +235,7 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 16,
     n_bands: int = 2,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_bucket_rows: int = 50_000,
 ):
     """Embedding-cosine near-dup pairs above ``threshold``.
@@ -274,40 +274,56 @@ def embedding_dup_pairs(
             )
         return pa.concat_tables(tables)
 
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows > max_bucket_rows:
-            raise ValueError(
-                f"LSH bucket holds {group.num_rows} rows "
-                f"(> max_bucket_rows={max_bucket_rows}); raise n_planes to "
-                "split hot orthants before the in-bucket O(n^2) pass"
-            )
-        vecs = np.stack(group["embedding"].to_numpy(zero_copy_only=False)).astype(
+    from .windows import _hash_parts
+
+    empty = pa.Table.from_pydict(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        """Vectorized per hash-exchanged block: segment-offset pair build
+        (shared :func:`_segment_pairs` kernel), then cosine on the PAIR
+        list — O(pairs x dim), never a bucket^2 similarity matrix."""
+        if batch.num_rows < 2:
+            return empty
+        keys = batch["bucket"].to_numpy(zero_copy_only=False)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        order, first, second = _segment_pairs(keys, ids, max_bucket_rows)
+        if len(first) == 0:
+            return empty
+        vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64
-        )
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        )[order]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        sims = unit @ unit.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+        sims = np.einsum("ij,ij->i", unit[first], unit[second])
+        keep = sims >= threshold
+        ids_s = ids[order]
         return pa.Table.from_pydict(
             {
-                "vec_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                "vec_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                "cosine": round_away(sims[ia, ib][keep], 6),
+                "vec_a": pa.array(ids_s[first[keep]], pa.int64()),
+                "vec_b": pa.array(ids_s[second[keep]], pa.int64()),
+                "cosine": pa.array(round_away(sims[keep], 6), pa.float64()),
             }
         )
 
-    cand = (
-        emb_ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pyarrow")
-    )
-    # a pair can collide in several bands: keep-first dedup (cosine is
-    # identical across duplicates)
-    return cand.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    def distinct(batch: pa.Table) -> pa.Table:
+        # a pair can collide in several bands (cosine identical): keep one
+        g = batch.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "min")])
+        return g.rename_columns(["vec_a", "vec_b", "cosine"])
+
+    cand = _hash_parts(
+        emb_ds.map_batches(bucket, batch_format="pyarrow"),
+        ["bucket"],
+        num_partitions,
+    ).map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
+    return _hash_parts(cand, ["vec_a", "vec_b"], num_partitions).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None
     )
 
 

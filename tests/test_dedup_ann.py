@@ -148,7 +148,7 @@ def test_embedding_lsh_giant_bucket_guard(ray_session):
     ds = embedding_dup_pairs(
         ray.data.from_arrow(tbl), threshold=0.9, max_bucket_rows=10
     )
-    with pytest.raises(Exception, match="n_planes"):
+    with pytest.raises(Exception, match="max_bucket_rows"):
         ds.count()
 
 
