@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.q_ann_topk,
         "ann_ivf": Q.q_ann_ivf,
         "knn_graph": Q.q_knn_graph,
+        "knn_graph_ivf": Q.q_knn_graph_ivf,  # rows-only: approximate by construction
         # corpus family (round 2)
         "ngram_topk": Q.q_ngram_topk,
         "decontaminate": Q.q_decontaminate,

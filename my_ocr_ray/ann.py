@@ -312,3 +312,109 @@ def ivf_topk(emb_ds, queries_ref, centroids: np.ndarray, k: int = 5, nprobe: int
     return partial.groupby("query_id").map_groups(
         _final_topk_factory(k), batch_format="pyarrow"
     )
+
+
+def knn_graph_ivf(
+    emb_ds,
+    centroids: np.ndarray,
+    k: int = 3,
+    nprobe: int = 2,
+    num_partitions: int | None = None,
+):
+    """Approximate kNN self-join — the 100-TB path of :func:`knn_graph`.
+
+    Every vector ships to its ``nprobe`` nearest IVF cells: once as a
+    QUERY (its primary cell) and ``nprobe - 1`` more times as a build-side
+    REPLICA, so a query meets every neighbor whose cell it would probe.
+    One hash exchange on cell co-locates each cell in one block; within a
+    block the exact per-cell kernel (one matmul per cell segment, stable
+    positional tie-breaks) emits final top-k rows — no second exchange.
+
+    Shuffle volume is nprobe x corpus (vectors ride the exchange), vs the
+    zero-exchange-but-broadcast-everything exact path; recall < 1 by
+    construction and is pinned against :func:`knn_graph` in tests.
+    Output schema matches :func:`knn_graph`.
+    """
+    from .windows import _hash_parts
+
+    cmat = _unit(centroids)
+    nprobe = min(nprobe, len(cmat))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        vecs = _unit(_batch_vectors(batch))
+        order = np.argsort(-(vecs @ cmat.T), axis=1)[:, :nprobe]  # (B, P)
+        n = len(vecs)
+        parts = []
+        for p in range(nprobe):
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "cell": pa.array(order[:, p], pa.int64()),
+                        "vec_id": batch["vec_id"],
+                        "embedding": batch["embedding"],
+                        # a row queries only from its PRIMARY (nearest) cell
+                        "is_query": pa.array(
+                            np.full(n, p == 0), pa.bool_()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def cell_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows < 2:
+            return empty
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        isq = batch["is_query"].to_numpy(zero_copy_only=False)
+        vecs = _unit(_batch_vectors(batch))
+        # id-sorted within cell => stable argsort tie-breaks by neighbor id
+        order = np.lexsort((ids, cells))
+        cells, ids, isq, vecs = cells[order], ids[order], isq[order], vecs[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], cells[1:] != cells[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(cells)]))
+        out = []
+        for s, e in zip(starts, ends):
+            q = np.flatnonzero(isq[s:e])
+            if len(q) == 0 or e - s < 2:
+                continue
+            sims = vecs[s:e][q] @ vecs[s:e].T  # (Q, M)
+            sims[np.arange(len(q)), q] = -np.inf  # self
+            kk = min(k, e - s - 1)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            out.append(
+                pa.Table.from_pydict(
+                    {
+                        "vec_id": pa.array(
+                            np.repeat(ids[s:e][q], kk), pa.int64()
+                        ),
+                        "rank": pa.array(
+                            np.tile(np.arange(1, kk + 1), len(q)), pa.int64()
+                        ),
+                        "nbr_id": pa.array(ids[s:e][top].ravel(), pa.int64()),
+                        "sim": pa.array(
+                            round_away(
+                                np.take_along_axis(sims, top, axis=1).ravel(),
+                                6,
+                            ),
+                            pa.float64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else empty
+
+    probed = emb_ds.map_batches(probe, batch_format="pyarrow")
+    return _hash_parts(probed, ["cell"], num_partitions).map_batches(
+        cell_topk, batch_format="pyarrow", batch_size=None
+    )

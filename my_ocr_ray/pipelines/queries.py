@@ -1492,3 +1492,19 @@ def q_knn_graph(sf_dir: str):
     from ..ann import knn_graph
 
     return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3)
+
+
+def q_knn_graph_ivf(sf_dir: str):
+    """Approximate kNN self-join via IVF cell bucketing — the corpus-scale
+    path of knn_graph (rows-only: approximate by construction; recall is
+    pinned against the exact graph in tests)."""
+    from ..ann import knn_graph_ivf
+
+    seed = _query_vectors(sf_dir, n_queries=16)
+    cents = seed["vectors"][np.argsort(seed["qids"])]
+    return knn_graph_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        centroids=cents,
+        k=3,
+        nprobe=4,
+    )

@@ -433,3 +433,43 @@ def test_knn_graph_exact_neighbors(ray_session):
             j for j in np.lexsort((np.arange(20), -sims[src])) if j != src
         ][:2]
         assert [got[(src, r)][0] for r in (1, 2)] == order
+
+
+def test_knn_graph_ivf_recall_against_exact(ray_session):
+    """IVF kNN graph: valid shape (no self, dense ranks) and top-1 recall
+    vs the exact graph stays high on clustered data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.ann import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = np.vstack(
+        [c + rng.normal(size=(30, 16)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    exact = {
+        (r["vec_id"], r["rank"]): r["nbr_id"]
+        for r in knn_graph(ds, k=3).take_all()
+    }
+    approx = {}
+    for r in knn_graph_ivf(ds, centroids=centers, k=3, nprobe=2).take_all():
+        approx[(r["vec_id"], r["rank"])] = r["nbr_id"]
+        assert r["vec_id"] != r["nbr_id"]
+
+    # every vector got an answer (each cell has >= 30 members)
+    srcs = {s for s, _ in approx}
+    assert len(srcs) == len(vecs)
+    top1_hits = sum(
+        1 for i in range(len(vecs)) if approx.get((i, 1)) == exact[(i, 1)]
+    )
+    assert top1_hits / len(vecs) >= 0.9
