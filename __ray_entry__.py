@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": Q.q_bigram_lm,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
+        "length_outliers": Q.q_length_outliers,
+        "seq_pack": Q.q_seq_pack,
     }
 
 
@@ -789,6 +791,34 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         FROM c JOIN own o USING (h)
         GROUP BY c.doc_id
+        """,
+        "length_outliers": """
+        WITH s AS (SELECT lang, avg(n_chars) AS m,
+                          stddev_samp(n_chars) AS sd, count(*) AS c
+                   FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN s USING (lang)
+        WHERE s.c > 1 AND abs(d.n_chars - s.m) > 1.5 * s.sd
+        """,
+        "seq_pack": r"""
+        WITH RECURSIVE toks AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents),
+        pack AS (
+          SELECT source, doc_id, rn, n,
+                 CAST(0 AS BIGINT) AS seq_idx, n AS fill
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.doc_id, t.rn, t.n,
+                 CASE WHEN p.fill + t.n > 200 THEN p.seq_idx + 1
+                      ELSE p.seq_idx END,
+                 CASE WHEN p.fill + t.n > 200 THEN t.n
+                      ELSE p.fill + t.n END
+          FROM toks t JOIN pack p
+            ON t.source = p.source AND t.rn = p.rn + 1)
+        SELECT source, doc_id, n AS n_tokens, seq_idx FROM pack
         """,
         "simhash_dups": r"""
         WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

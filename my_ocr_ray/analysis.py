@@ -207,3 +207,54 @@ def redact_pii_batch(batch: pa.Table) -> pa.Table:
 def redact_pii(docs_ds):
     """Corpus-wide PII masking — pure map stage, zero exchange."""
     return docs_ds.map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+def length_outliers(docs_ds, key: str = "lang", col: str = "n_chars",
+                    z: float = 2.0):
+    """Per-stratum z-score outlier documents: rows where
+    ``|x - mean| > z * stddev_samp`` of their stratum.
+
+    Two-phase moments: map-side (key, count, sum, sumsq) partials combine
+    into a stratum-sized table (languages/domains — tiny), the resulting
+    (mean, sd) dict broadcasts back into a pure filter map — the corpus is
+    never exchanged. Strata with a single row have no sample stddev and
+    emit nothing (mirrors ``stddev_samp`` NULL semantics)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = batch[key].combine_chunks() if isinstance(
+            batch[key], pa.ChunkedArray) else batch[key]
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        kv = np.asarray(ks.to_pylist(), dtype=object)
+        uniq, inv = np.unique(kv, return_inverse=True)
+        return pa.Table.from_pydict(
+            {
+                key: pa.array(uniq.tolist(), pa.string()),
+                "c": pa.array(np.bincount(inv), pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=x), pa.float64()),
+                "ss": pa.array(np.bincount(inv, weights=x * x), pa.float64()),
+            }
+        )
+
+    pdf = docs_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = pdf.groupby(key).sum()
+    stats = {}
+    for k, row in g.iterrows():
+        c = int(row["c"])
+        if c < 2:
+            continue
+        mean = row["s"] / c
+        var = max(0.0, (row["ss"] - c * mean * mean) / (c - 1))
+        stats[k] = (mean, z * np.sqrt(var))
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        kv = np.asarray(batch[key].to_pylist(), dtype=object)
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        means = np.array([st.get(k, (np.nan, np.inf))[0] for k in kv])
+        cuts = np.array([st.get(k, (np.nan, np.inf))[1] for k in kv])
+        keep = np.abs(x - means) > cuts
+        return batch.filter(pa.array(keep))
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")

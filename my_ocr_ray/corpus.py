@@ -936,3 +936,58 @@ def bigram_lm_scores(docs_ds, k: float = 0.5):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def seq_pack(docs_ds, budget: int = 200, group_col: str = "source",
+             num_partitions: int | None = None):
+    """Greedy sequence packing for LLM training-data prep: within each
+    group (documents ordered by doc_id), accumulate ``\\S+`` token counts
+    and start a new sequence whenever adding the next document would
+    overflow ``budget`` tokens -> (group, doc_id, n_tokens, seq_idx).
+
+    Token counting is one Arrow RE2 kernel; ONE hash exchange on the
+    group key co-locates each group, and the per-block greedy scan is the
+    only sequential piece (inherently order-dependent; one add+compare
+    per row). A document longer than ``budget`` occupies its own
+    sequence. Oracle: per-group recursive CTE over row_number order."""
+    from .windows import _hash_parts
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.Table.from_pydict(
+            {
+                group_col: batch[group_col],
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src))
+        src, ids, n = src[order], ids[order], n[order]
+        seq = np.empty(len(ids), dtype=np.int64)
+        prev, s, fill = None, 0, 0
+        for i in range(len(ids)):
+            if src[i] != prev:
+                prev, s, fill = src[i], 0, n[i]
+            elif fill + n[i] > budget:
+                s, fill = s + 1, n[i]
+            else:
+                fill += n[i]
+            seq[i] = s
+        return pa.Table.from_pydict(
+            {
+                group_col: pa.array(src.tolist(), pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "seq_idx": pa.array(seq, pa.int64()),
+            }
+        )
+
+    counted = docs_ds.map_batches(count_tokens, batch_format="pyarrow")
+    return _hash_parts(counted, [group_col], num_partitions).map_batches(
+        pack_block, batch_format="pyarrow", batch_size=None
+    )

@@ -1508,3 +1508,25 @@ def q_knn_graph_ivf(sf_dir: str):
         k=3,
         nprobe=4,
     )
+
+
+def q_length_outliers(sf_dir: str):
+    """Per-language z-score length outliers: docs with |n_chars - mean| >
+    1.5 * stddev_samp of their language stratum."""
+    from ..analysis import length_outliers
+
+    return length_outliers(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        key="lang", col="n_chars", z=1.5,
+    )
+
+
+def q_seq_pack(sf_dir: str):
+    """Greedy 200-token sequence packing per source in doc_id order:
+    (source, doc_id, n_tokens, seq_idx)."""
+    from ..corpus import seq_pack
+
+    return seq_pack(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        budget=200, group_col="source",
+    )

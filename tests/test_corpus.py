@@ -462,3 +462,59 @@ def test_bigram_lm_hand_model(ray_session):
     assert abs(by[2]["avg_logp"] - lp_xy) < 1e-6
     # frequent transitions score higher than rare ones
     assert by[1]["avg_logp"] > by[2]["avg_logp"]
+
+
+def test_seq_pack_greedy_boundaries(ray_session):
+    """Packing restarts exactly when the budget would overflow; a
+    document larger than the budget owns its sequence; groups pack
+    independently even when split across input blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.corpus import seq_pack
+
+    rows = [
+        # source a: tokens 3,3,3 with budget 7 -> seqs [0,0,1]
+        ("a", 0, "x y z"), ("a", 1, "x y z"), ("a", 2, "x y z"),
+        # source b: 9-token doc (> budget) alone, then 2+2 -> [0,1,1]
+        ("b", 3, " ".join(["w"] * 9)), ("b", 4, "u v"), ("b", 5, "u v"),
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = seq_pack(
+        ray.data.from_arrow(t).repartition(3), budget=7
+    ).take_all()
+    got = {r["doc_id"]: (r["seq_idx"], r["n_tokens"]) for r in out}
+    assert got == {
+        0: (0, 3), 1: (0, 3), 2: (1, 3),
+        3: (0, 9), 4: (1, 2), 5: (1, 2),
+    }
+
+
+def test_length_outliers_flags_extremes(ray_session):
+    """Only strata with >= 2 rows participate, and exactly the injected
+    extreme value is flagged."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.analysis import length_outliers
+
+    n = [100, 101, 99, 100, 1000]          # en: one huge outlier
+    langs = ["en"] * 5 + ["fr"]            # fr: single row -> no stddev
+    n.append(5)
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(n, pa.int64()),
+        }
+    )
+    out = length_outliers(
+        ray.data.from_arrow(t).repartition(2), key="lang", col="n_chars", z=1.5
+    ).take_all()
+    assert {r["doc_id"] for r in out} == {4}
