@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
         "seq_pack": Q.q_seq_pack,
+        "source_overlap": Q.q_source_overlap,
     }
 
 
@@ -791,6 +792,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
         FROM c JOIN own o USING (h)
         GROUP BY c.doc_id
+        """,
+        "source_overlap": r"""
+        WITH f AS (SELECT doc_id, source,
+                   md5(array_to_string(regexp_extract_all(text, '\S+')[1:5],
+                                       ' ')) AS fp
+                   FROM documents)
+        SELECT least(a.source, b.source) AS src_a,
+               greatest(a.source, b.source) AS src_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM f a JOIN f b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <> b.source
+        GROUP BY 1, 2
         """,
         "length_outliers": """
         WITH s AS (SELECT lang, avg(n_chars) AS m,

@@ -29,6 +29,26 @@ from .functions.textproc import (
 )
 
 
+def _nonempty(ds):
+    """Dataset rebuilt from ds's non-empty materialized blocks, or None
+    when every block is empty (refs move, bytes stay put).
+
+    Needed wherever hash-shuffle output feeds another keyed exchange:
+    under ShuffleStrategy.HASH_SHUFFLE an empty partition surfaces as a
+    zero-COLUMN block, and a downstream groupby/join on named key columns
+    stalls or crashes on it."""
+    import ray
+    import ray.data
+
+    refs = [
+        blk
+        for bundle in ds.iter_internal_ref_bundles()
+        for blk, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    return ray.data.from_arrow_refs(refs) if refs else None
+
+
 def exact_dedup(docs_ds):
     """-> (doc_id, n_copies): the surviving (min) doc_id per distinct
     normalized-text fingerprint, with its duplicate count."""
@@ -535,17 +555,6 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 50)
     import ray.data
     from ray.data.aggregate import Min, Sum
 
-    def _nonempty(ds):
-        """Dataset rebuilt from ds's non-empty materialized blocks, or
-        None when every block is empty (refs move, bytes stay put)."""
-        refs = [
-            blk
-            for bundle in ds.iter_internal_ref_bundles()
-            for blk, meta in bundle.blocks
-            if meta.num_rows is None or meta.num_rows > 0
-        ]
-        return ray.data.from_arrow_refs(refs) if refs else None
-
     def _empty_result():
         return ray.data.from_arrow(
             pa.Table.from_pydict(
@@ -805,3 +814,104 @@ def passage_dedup(docs_ds, chunk: int = 20, num_partitions: int | None = None):
     return _hash_parts(parts, ["doc_id"], num_partitions).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def source_overlap(docs_ds, prefix_tokens: int = 5,
+                   num_partitions: int | None = None):
+    """Cross-source duplication matrix -> (src_a, src_b, n_pairs): for
+    every unordered source pair, how many document pairs share the same
+    leading-``prefix_tokens`` fingerprint — the contamination diagnostic
+    that tells a curation run which sources copy from each other.
+
+    Scale shape: fingerprints map-side (md5 per row, inherent), ONE hash
+    exchange of skinny (fp, doc_id, source) rows, cross-source pairs via
+    the shared segment-pair kernel per block, then per-block Arrow
+    partial counts and a tiny (src_a, src_b) Sum — pair volume never
+    exceeds colliding docs, and the final exchange is source-pair-sized."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .windows import _hash_parts
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = [
+            hashlib.md5(" ".join(t.split()[:prefix_tokens]).encode()).hexdigest()
+            for t in texts
+        ]
+        return pa.Table.from_pydict(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+            }
+        )
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows < 2:
+            return empty
+        fp = np.asarray(batch["fp"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        order, first, second = _segment_pairs(fp, ids)
+        if len(first) == 0:
+            return empty
+        src_s = src[order]
+        sa, sb = src_s[first], src_s[second]
+        cross = sa != sb
+        if not cross.any():
+            return empty
+        lo = np.minimum(sa[cross], sb[cross])
+        hi = np.maximum(sa[cross], sb[cross])
+        t = pa.Table.from_pydict(
+            {
+                "src_a": pa.array(lo.tolist(), pa.string()),
+                "src_b": pa.array(hi.tolist(), pa.string()),
+            }
+        )
+        g = t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src_a", "src_b", "n_pairs"]).set_column(
+            2, "n_pairs", pc.cast(g.column(2), pa.int64())
+        )
+
+    parts = _hash_parts(
+        docs_ds.map_batches(fp_batch, batch_format="pyarrow"),
+        ["fp"],
+        num_partitions,
+    ).map_batches(block_counts, batch_format="pyarrow", batch_size=None)
+    # The partials are source-pair-sized (<= n_sources^2 rows per block), so
+    # materializing to drop the hash shuffle's zero-column empty blocks is
+    # cheap — and required: the final keyed groupby stalls on them.
+    parts = _nonempty(parts.materialize())
+    if parts is None:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        )
+    agg = parts.groupby(["src_a", "src_b"]).aggregate(Sum("n_pairs"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["src_a"],
+                batch["src_b"],
+                pc.cast(batch["sum(n_pairs)"], pa.int64()),
+            ],
+            names=["src_a", "src_b", "n_pairs"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

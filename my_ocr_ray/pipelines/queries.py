@@ -1530,3 +1530,14 @@ def q_seq_pack(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]),
         budget=200, group_col="source",
     )
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source near-dup overlap matrix: document pairs from different
+    sources sharing the same leading-5-token fingerprint."""
+    from ..dedup import source_overlap
+
+    return source_overlap(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        prefix_tokens=5,
+    )

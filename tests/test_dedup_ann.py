@@ -473,3 +473,36 @@ def test_knn_graph_ivf_recall_against_exact(ray_session):
         1 for i in range(len(vecs)) if approx.get((i, 1)) == exact[(i, 1)]
     )
     assert top1_hits / len(vecs) >= 0.9
+
+
+def test_source_overlap_counts_cross_source_pairs(ray_session):
+    """Same prefix within one source does NOT count; cross-source shared
+    prefixes count once per doc pair with sources ordered."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import source_overlap
+
+    rows = [
+        ("web", 0, "alpha beta gamma delta epsilon one"),
+        ("web", 1, "alpha beta gamma delta epsilon two"),     # same source
+        ("books", 2, "alpha beta gamma delta epsilon three"), # crosses both
+        ("wiki", 3, "alpha beta gamma delta epsilon four"),
+        ("wiki", 4, "totally different prefix tokens here"),
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = source_overlap(
+        ray.data.from_arrow(t).repartition(2), prefix_tokens=5
+    ).take_all()
+    got = {(r["src_a"], r["src_b"]): r["n_pairs"] for r in out}
+    assert got == {
+        ("books", "web"): 2,   # doc2 x {doc0, doc1}
+        ("books", "wiki"): 1,  # doc2 x doc3
+        ("web", "wiki"): 2,    # doc3 x {doc0, doc1}
+    }
