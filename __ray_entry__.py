@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": Q.q_length_outliers,
         "seq_pack": Q.q_seq_pack,
         "source_overlap": Q.q_source_overlap,
+        "epoch_shuffle": Q.q_epoch_shuffle,
     }
 
 
@@ -804,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
         FROM f a JOIN f b
           ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <> b.source
         GROUP BY 1, 2
+        """,
+        "epoch_shuffle": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                    ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS shuffle_rank
+        FROM documents
         """,
         "length_outliers": """
         WITH s AS (SELECT lang, avg(n_chars) AS m,

@@ -991,3 +991,82 @@ def seq_pack(docs_ds, budget: int = 200, group_col: str = "source",
     return _hash_parts(counted, [group_col], num_partitions).map_batches(
         pack_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
+    """Deterministic training-epoch shuffle -> (doc_id, shuffle_rank):
+    the global position of each document under the pseudo-random order
+    md5(f"{seed}:{doc_id}") (ties by doc_id). Changing ``seed`` yields a
+    fresh epoch permutation; the same seed reproduces it exactly on any
+    cluster size / partition layout — the resumable alternative to
+    ``random_shuffle`` for epoch ordering at 100 TB.
+
+    No global sort: the key's first byte IS its range bucket (md5 output
+    is uniform, so 256 near-equal ranges). A skinny (bucket, count) pass
+    prefix-sums into a 256-entry offset table carried in the task closure,
+    then ONE bucket-keyed hash exchange ranks each bucket locally —
+    ascending key order within a block is already bucket-grouped because
+    the bucket is a prefix of the key. Only (doc_id, key) rows move."""
+    from ray.data.aggregate import Sum
+
+    from .windows import _hash_parts
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [
+            hashlib.md5(f"{seed}:{int(i)}".encode()).hexdigest() for i in ids
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "key": pa.array(keys, pa.string()),
+                "bucket": pa.array(
+                    np.array([int(k[:2], 16) for k in keys], dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ids_only = docs_ds.select_columns(["doc_id"])
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        g = keyed(batch).group_by("bucket").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "cnt"]).set_column(
+            1, "cnt", pc.cast(g.column(1), pa.int64())
+        )
+
+    counts = (
+        ids_only.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )  # <= 256 rows on the driver, by construction
+    per_bucket = np.zeros(256, dtype=np.int64)
+    for row in counts:
+        per_bucket[row["bucket"]] = row["sum(cnt)"]
+    offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["key"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        b_sorted = buckets[order]
+        new_seg = np.ones(len(b_sorted), dtype=bool)
+        new_seg[1:] = b_sorted[1:] != b_sorted[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_start, len(b_sorted)))
+        within = np.arange(len(b_sorted)) - np.repeat(seg_start, seg_len)
+        rank = offsets[b_sorted] + within
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "shuffle_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return _hash_parts(
+        ids_only.map_batches(keyed, batch_format="pyarrow"),
+        ["bucket"],
+        num_partitions,
+    ).map_batches(rank_block, batch_format="pyarrow", batch_size=None)

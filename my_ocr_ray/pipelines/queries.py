@@ -1541,3 +1541,10 @@ def q_source_overlap(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]),
         prefix_tokens=5,
     )
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-shuffle ranks over documents (seed 13)."""
+    from ..corpus import epoch_shuffle
+
+    return epoch_shuffle(_read(sf_dir, "documents", ["doc_id"]), seed=13)

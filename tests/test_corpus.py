@@ -518,3 +518,35 @@ def test_length_outliers_flags_extremes(ray_session):
         ray.data.from_arrow(t).repartition(2), key="lang", col="n_chars", z=1.5
     ).take_all()
     assert {r["doc_id"] for r in out} == {4}
+
+
+def test_epoch_shuffle_matches_bruteforce_and_is_layout_invariant(ray_session):
+    """Ranks are the md5-order permutation regardless of partitioning, and
+    a different seed yields a different permutation."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.corpus import epoch_shuffle
+
+    ids = list(range(100))
+    t = pa.Table.from_pydict({"doc_id": pa.array(ids, pa.int64())})
+    expect = {
+        d: r
+        for r, d in enumerate(
+            sorted(ids, key=lambda i: (hashlib.md5(f"13:{i}".encode()).hexdigest(), i))
+        )
+    }
+    for nparts in (1, 7):
+        out = epoch_shuffle(
+            ray.data.from_arrow(t).repartition(nparts), seed=13
+        ).take_all()
+        got = {r["doc_id"]: r["shuffle_rank"] for r in out}
+        assert got == expect
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in epoch_shuffle(ray.data.from_arrow(t), seed=14).take_all()
+    }
+    assert sorted(other.values()) == list(range(100))
+    assert other != expect
