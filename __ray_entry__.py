@@ -92,6 +92,31 @@ sigs AS (
 """
 
 
+# Sign-LSH candidate pairs over the embeddings table (12 planes x 2 bands),
+# shared by the embedding_dups pair listing and the embedding_clusters
+# transitive closure.
+_EMB_CAND_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b0 AS (SELECT vec_id, v,
+  list_sum(list_transform(generate_series(1, 12),
+    i -> CASE WHEN v[i] > 0
+              THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+  FROM e),
+b1 AS (SELECT vec_id, v,
+  list_sum(list_transform(generate_series(1, 12),
+    i -> CASE WHEN v[12+i] > 0
+              THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
+  FROM e),
+cand AS (
+  SELECT DISTINCT va, vb FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id))
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full extraction over the
     deterministic synthetic interleaved corpus (docs + rendered media),
@@ -177,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": Q.q_seq_pack,
         "source_overlap": Q.q_source_overlap,
         "epoch_shuffle": Q.q_epoch_shuffle,
+        "embedding_clusters": Q.q_embedding_clusters,
     }
 
 
@@ -497,31 +523,29 @@ def oracle_sql() -> dict[str, str]:
           END, 6) AS jaccard
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-        "embedding_dups": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b0 AS (SELECT vec_id, v,
-          list_sum(list_transform(generate_series(1, 12),
-            i -> CASE WHEN v[i] > 0
-                      THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
-          FROM e),
-        b1 AS (SELECT vec_id, v,
-          list_sum(list_transform(generate_series(1, 12),
-            i -> CASE WHEN v[12+i] > 0
-                      THEN CAST(pow(2, i-1) AS BIGINT) ELSE 0 END)) AS bucket
-          FROM e),
-        cand AS (
-          SELECT DISTINCT va, vb FROM (
-            SELECT a.vec_id AS va, b.vec_id AS vb
-            FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            UNION ALL
-            SELECT a.vec_id AS va, b.vec_id AS vb
-            FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id))
+        "embedding_dups": "WITH " + _EMB_CAND_CTE + """
         SELECT c.va AS vec_a, c.vb AS vec_b,
                round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
         FROM cand c
         JOIN e ea ON ea.vec_id = c.va
         JOIN e eb ON eb.vec_id = c.vb
         WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+        """,
+        "embedding_clusters": "WITH RECURSIVE " + _EMB_CAND_CTE + """,
+        pairs AS (
+          SELECT c.va, c.vb
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.va
+          JOIN e eb ON eb.vec_id = c.vb
+          WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3),
+        edges AS (
+          SELECT va AS src, vb AS dst FROM pairs
+          UNION ALL SELECT vb, va FROM pairs),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.node)
+        SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
         """,
         "embedding_centroids": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1548,3 +1548,32 @@ def q_epoch_shuffle(sf_dir: str):
     from ..corpus import epoch_shuffle
 
     return epoch_shuffle(_read(sf_dir, "documents", ["doc_id"]), seed=13)
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Embedding near-dup cluster assignment -> (vec_id, cluster_id = min
+    reachable vec_id): the semantic-dedup keep-one labelling, composing the
+    sign-LSH candidate pairs with the same distributed hash-min connected
+    components used for text near-dups. Oracle = recursive-CTE transitive
+    closure over the identical pair SQL."""
+    import pyarrow as pa
+
+    from ..dedup import connected_components, embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.3,
+        n_planes=12,
+        n_bands=2,
+    ).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["vec_a"], b["vec_b"]], names=["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["doc_id"], b["cluster_id"]], names=["vec_id", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+    )

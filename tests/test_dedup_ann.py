@@ -506,3 +506,34 @@ def test_source_overlap_counts_cross_source_pairs(ray_session):
         ("books", "wiki"): 1,  # doc2 x doc3
         ("web", "wiki"): 2,    # doc3 x {doc0, doc1}
     }
+
+
+def test_embedding_clusters_merges_duplicate_chain(ray_session):
+    """Two injected near-dups of vector 7 land in one cluster labelled by
+    the minimum member id, via the pairs -> connected-components composite."""
+    import ray.data
+
+    from my_ocr_ray.dedup import connected_components, embedding_dup_pairs
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[31] = vecs[7] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    vecs[44] = vecs[7] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99
+    ).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["vec_a"], b["vec_b"]], names=["doc_a", "doc_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = connected_components(pairs).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {7: 7, 31: 7, 44: 7}
