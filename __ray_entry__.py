@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": Q.q_source_overlap,
         "epoch_shuffle": Q.q_epoch_shuffle,
         "embedding_clusters": Q.q_embedding_clusters,
+        "chunk_windows": Q.q_chunk_windows,
     }
 
 
@@ -829,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
         FROM f a JOIN f b
           ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <> b.source
         GROUP BY 1, 2
+        """,
+        "chunk_windows": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(least(32, len(toks) - i*24) AS BIGINT) AS n_tokens,
+               array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+        FROM t, UNNEST(generate_series(0,
+                 CAST(ceil(len(toks) / 24.0) AS BIGINT) - 1)) AS u(i)
+        WHERE len(toks) > 0
         """,
         "epoch_shuffle": """
         SELECT doc_id,

@@ -1577,3 +1577,12 @@ def q_embedding_clusters(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_chunk_windows(sf_dir: str):
+    """RAG chunking: overlapping 32-token windows with stride 24."""
+    from ..corpus import chunk_windows
+
+    return chunk_windows(
+        _read(sf_dir, "documents", ["doc_id", "text"]), window=32, stride=24
+    )

@@ -550,3 +550,32 @@ def test_epoch_shuffle_matches_bruteforce_and_is_layout_invariant(ray_session):
     }
     assert sorted(other.values()) == list(range(100))
     assert other != expect
+
+
+def test_chunk_windows_edges(ray_session):
+    """Empty doc -> no chunks; short doc -> one truncated chunk; 7 tokens at
+    window=3/stride=2 -> starts 0,2,4,6 with the tail truncated."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.corpus import chunk_windows
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e f g", "", "x y"], pa.string()),
+        }
+    )
+    out = chunk_windows(
+        ray.data.from_arrow(t).repartition(2), window=3, stride=2
+    ).take_all()
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out
+    )
+    assert got == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 3, "e f g"),
+        (1, 3, 1, "g"),
+        (3, 0, 2, "x y"),
+    ]
