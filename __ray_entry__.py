@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": Q.q_epoch_shuffle,
         "embedding_clusters": Q.q_embedding_clusters,
         "chunk_windows": Q.q_chunk_windows,
+        "ann_filtered": Q.q_ann_filtered,
     }
 
 
@@ -560,6 +561,19 @@ def oracle_sql() -> dict[str, str]:
         s AS (SELECT q.qid, e.vec_id,
                      list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
               FROM q, embeddings e),
+        r AS (SELECT qid, vec_id, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+               round(sim, 6) AS sim
+        FROM r WHERE rn <= 5
+        """,
+        "ann_filtered": """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e WHERE e.label = 3),
         r AS (SELECT qid, vec_id, sim,
                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
               FROM s)

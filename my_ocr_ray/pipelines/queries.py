@@ -21,7 +21,8 @@ from ..functions.num import round_away_scalar
 SPAN_TOKENS = 8
 
 
-def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None):
+def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None,
+          filter_expr=None):
     """Pruned parquet read with data-scaled block count.
 
     ``min_blocks`` raises the floor for queries whose per-row work is
@@ -46,8 +47,13 @@ def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None):
     blocks = int(max(1, min(cpus * 2, nbytes // (8 << 20) + 1)))
     if min_blocks is not None:
         blocks = max(blocks, min(min_blocks, cpus * 2))
+    kwargs = {}
+    if filter_expr is not None:
+        # predicate pushdown: the pyarrow scanner drops non-matching row
+        # groups at the read — filter columns need not be projected
+        kwargs["filter"] = filter_expr
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=blocks
+        path, columns=columns, override_num_blocks=blocks, **kwargs
     )
 
 
@@ -1586,3 +1592,24 @@ def q_chunk_windows(sf_dir: str):
     return chunk_windows(
         _read(sf_dir, "documents", ["doc_id", "text"]), window=32, stride=24
     )
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered retrieval: exact cosine top-k per query, restricted
+    to corpus vectors with label = 3. The label predicate pushes down into
+    the parquet read (non-matching row groups never leave storage) — the
+    filtered-search shape where the filter prunes IO, not just compute."""
+    import pyarrow.dataset as pds
+
+    import ray
+
+    from ..ann import brute_force_topk
+
+    qref = ray.put(_query_vectors(sf_dir))
+    ds = _read(
+        sf_dir,
+        "embeddings",
+        ["vec_id", "embedding"],
+        filter_expr=(pds.field("label") == 3),
+    )
+    return brute_force_topk(ds, qref, k=5)
