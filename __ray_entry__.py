@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": Q.q_embedding_clusters,
         "chunk_windows": Q.q_chunk_windows,
         "ann_filtered": Q.q_ann_filtered,
+        "filter_funnel": Q.q_filter_funnel,
+        "incremental_dedup": Q.q_incremental_dedup,
     }
 
 
@@ -433,6 +435,28 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "filter_funnel": r"""
+        WITH t AS (SELECT source, lang,
+                          len(regexp_extract_all(text, '\S+')) AS n_tok
+                   FROM documents)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lang,
+               CAST(sum(CASE WHEN n_tok >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_len,
+               CAST(sum(CASE WHEN lang = 'en' AND n_tok >= 30
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        FROM t GROUP BY source
+        """,
+        "incremental_dedup": f"""
+        WITH f AS (SELECT doc_id, {_FP} AS fp FROM documents),
+        known AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 3),
+        nw AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 >= 3)
+        SELECT min(nw.doc_id) AS doc_id, nw.fp AS fp
+        FROM nw WHERE nw.fp NOT IN (SELECT fp FROM known)
+        GROUP BY nw.fp
         """,
         "minhash_sig": _SIGS_CTE
         + "SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs",

@@ -1135,3 +1135,61 @@ def chunk_windows(docs_ds, window: int = 32, stride: int = 24):
         )
 
     return docs_ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def filter_funnel(docs_ds, lang: str = "en", min_tokens: int = 30):
+    """Per-source curation funnel -> (source, n_docs, n_lang, n_len,
+    n_both): how many documents each source contributes at each filter
+    stage (language match, length floor, both). The observability
+    counterpart of :func:`curate` — a curation run reports WHERE its
+    corpus shrank, per source.
+
+    One vectorized boolean pass per block, Arrow group_by partials
+    (sources x blocks rows), one tiny keyed Sum — the corpus stream is
+    never exchanged."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = np.asarray(
+            pc.count_substring_regex(batch["text"], r"\S+"), dtype=np.int64
+        )
+        is_lang = np.asarray(pc.equal(batch["lang"], lang), dtype=bool)
+        is_len = n_tok >= min_tokens
+        t = pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "one": pa.array(np.ones(len(n_tok), np.int64)),
+                "lang_ok": pa.array(is_lang.astype(np.int64)),
+                "len_ok": pa.array(is_len.astype(np.int64)),
+                "both_ok": pa.array((is_lang & is_len).astype(np.int64)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("one", "sum"), ("lang_ok", "sum"), ("len_ok", "sum"),
+             ("both_ok", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_lang", "n_len", "n_both"]
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs"), Sum("n_lang"), Sum("n_len"), Sum("n_both")
+        )
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["source"],
+                pc.cast(batch["sum(n_docs)"], pa.int64()),
+                pc.cast(batch["sum(n_lang)"], pa.int64()),
+                pc.cast(batch["sum(n_len)"], pa.int64()),
+                pc.cast(batch["sum(n_both)"], pa.int64()),
+            ],
+            names=["source", "n_docs", "n_lang", "n_len", "n_both"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -915,3 +915,39 @@ def source_overlap(docs_ds, prefix_tokens: int = 5,
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def incremental_dedup(new_docs_ds, known_docs_ds):
+    """Dedup a NEW document batch against a prior corpus snapshot ->
+    (doc_id, fp): the continuously-updated-corpus shape, where each
+    ingest run must drop documents already present in earlier runs as
+    well as duplicates within itself.
+
+    The snapshot reduces to its distinct normalized-text fingerprints
+    (distributed ``unique``), broadcast once; new docs filter against it
+    with one vectorized searchsorted per batch (zero exchange on the new
+    stream), then keep-min-doc_id within each surviving fingerprint.
+    When the snapshot's fingerprint set outgrows a broadcast, swap the
+    membership filter for a fp-hash co-partitioned anti join — the
+    streaming path stays identical."""
+    from ray.data.aggregate import Min
+
+    from .analysis import fingerprint_batch
+    from .relational import broadcast_semi_anti_join
+
+    known_fps = known_docs_ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    new_fps = new_docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    fresh = broadcast_semi_anti_join(
+        new_fps, key="fp", build_keys_ds=known_fps, build_key="fp", anti=True
+    )
+    agg = fresh.groupby("fp").aggregate(Min("doc_id"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(batch["min(doc_id)"], pa.int64()), batch["fp"]],
+            names=["doc_id", "fp"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

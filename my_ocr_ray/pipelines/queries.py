@@ -1613,3 +1613,34 @@ def q_ann_filtered(sf_dir: str):
         filter_expr=(pds.field("label") == 3),
     )
     return brute_force_topk(ds, qref, k=5)
+
+
+def q_filter_funnel(sf_dir: str):
+    """Per-source curation funnel counts (lang='en', min 30 tokens)."""
+    from ..corpus import filter_funnel
+
+    return filter_funnel(
+        _read(sf_dir, "documents", ["source", "lang", "text"]),
+        lang="en", min_tokens=30,
+    )
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup: docs with doc_id % 10 < 3 act as the prior
+    snapshot; the rest are the new ingest batch deduped against it."""
+    from ..dedup import incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def known(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 < 3))
+
+    def new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 >= 3))
+
+    return incremental_dedup(
+        docs.map_batches(new, batch_format="pyarrow"),
+        docs.map_batches(known, batch_format="pyarrow"),
+    )
