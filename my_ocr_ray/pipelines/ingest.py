@@ -179,3 +179,176 @@ def ingest_recog_dataset(
 
     files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     return pads.dataset(files, format="parquet").count_rows()
+
+
+def parse_textocr_ann(ann: dict) -> dict:
+    """One TextOCR ann dict -> DET annotation
+    (``tools/data/textdet/textocr_converter.py:39-53`` semantics):
+    utf8_string '.' marks illegible (iscrowd=1); bbox x/y floored and
+    clamped >= 0 with w/h ceiled; polygon points clamped >= 0."""
+    import math
+
+    x, y, w, h = ann["bbox"]
+    return {
+        "iscrowd": 1 if ann["utf8_string"] == "." else 0,
+        "category_id": 1,
+        "bbox": [
+            float(max(0, math.floor(x))),
+            float(max(0, math.floor(y))),
+            float(math.ceil(w)),
+            float(math.ceil(h)),
+        ],
+        "segmentation": [[float(max(0, int(p))) for p in ann["points"]]],
+    }
+
+
+def ingest_textocr(annotation_path: str, out_dir: str) -> int:
+    """TextOCR annotation json -> DET_SCHEMA parquet table.
+
+    The driver only loads the (index-sized) annotation json and slices
+    one raw-ann list per image; the numeric parsing and the parquet
+    write run in tasks. Returns the ingested image-row count.
+    """
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..sources.lines import DET_SCHEMA
+
+    with open(annotation_path, encoding="utf-8") as f:
+        annotation = _json.load(f)
+    items = []
+    for img in annotation["imgs"].values():
+        raw = [annotation["anns"][a] for a in annotation["imgToAnns"][img["id"]]]
+        items.append(
+            {
+                "file_name": img["file_name"],
+                "height": int(img["height"]),
+                "width": int(img["width"]),
+                "anns_json": _json.dumps(raw),
+            }
+        )
+    if not items:
+        raise ValueError(f"no images in {annotation_path}")
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = {"file_name": [], "height": [], "width": [], "annotations": []}
+        for fn, h, w, aj in zip(
+            batch["file_name"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["anns_json"].to_pylist(),
+        ):
+            rows["file_name"].append(fn)
+            rows["height"].append(h)
+            rows["width"].append(w)
+            rows["annotations"].append(
+                [parse_textocr_ann(a) for a in _json.loads(aj)]
+            )
+        return pa.Table.from_pydict(rows, schema=DET_SCHEMA)
+
+    ray.data.from_items(items).map_batches(
+        build, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    return pads.dataset(files, format="parquet").count_rows()
+
+
+def ingest_svt(xml_path: str, img_root: str, out_dir: str) -> int:
+    """SVT-style test.xml -> cropped word-image media parquet + lexicon
+    side table (``tools/data/textrecog/svt_converter.py:44-76``
+    semantics): each taggedRectangle is cropped with rows/cols clamped
+    to >= 0, the tag lowercased, and crops named img_0001... in document
+    order. The driver parses only the (small) xml; image decode + crop +
+    re-encode run in tasks, one task row per source image. The lexicon
+    side table (media_ref, lexicon, lex_size) derives from the xml alone,
+    so it is written driver-side without touching any image.
+
+    Writes MEDIA_SCHEMA rows under ``out_dir`` and the lexicon table
+    under ``out_dir + '_lexicon'``. Returns the crop count.
+    """
+    import glob as _glob
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..functions.imaging import png_decode, png_encode
+
+    root = ET.parse(xml_path).getroot()
+    items, index = [], 1
+    for image_node in root.findall("image"):
+        name = image_node.find("imageName").text
+        lexicon = image_node.find("lex").text.lower()
+        lex_size = len(lexicon.split(","))
+        rects = []
+        for rect in image_node.find("taggedRectangles"):
+            rects.append(
+                {
+                    "x": int(rect.get("x")),
+                    "y": int(rect.get("y")),
+                    "w": int(rect.get("width")),
+                    "h": int(rect.get("height")),
+                    "text": rect.find("tag").text.lower(),
+                    "ref": f"img_{index:04}.png",
+                }
+            )
+            index += 1
+        items.append(
+            {
+                "img_path": os.path.join(img_root, name),
+                "lexicon": lexicon,
+                "lex_size": lex_size,
+                "rects_json": _json.dumps(rects),
+            }
+        )
+    if not items:
+        raise ValueError(f"no <image> entries in {xml_path}")
+
+    def crop(batch: pa.Table) -> pa.Table:
+        import json as _j
+
+        rows = {
+            "media_ref": [], "bytes": [], "gt_text": [],
+            "width": [], "height": [], "n_lines": [],
+        }
+        for path, rj in zip(
+            batch["img_path"].to_pylist(), batch["rects_json"].to_pylist()
+        ):
+            with open(path, "rb") as f:
+                img = png_decode(f.read())
+            for r in _j.loads(rj):
+                rb, re_ = max(0, r["y"]), max(0, r["y"] + r["h"])
+                cb, ce = max(0, r["x"]), max(0, r["x"] + r["w"])
+                sub = img[rb:re_, cb:ce]
+                if sub.size == 0:
+                    sub = np.zeros((1, 1), dtype=np.uint8)
+                rows["media_ref"].append(r["ref"])
+                rows["bytes"].append(png_encode(np.ascontiguousarray(sub)))
+                rows["gt_text"].append(r["text"])
+                rows["height"].append(sub.shape[0])
+                rows["width"].append(sub.shape[1])
+                rows["n_lines"].append(1)
+        return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+    ray.data.from_items(items).map_batches(
+        crop, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    lex_rows = {"media_ref": [], "lexicon": [], "lex_size": []}
+    for it in items:
+        for r in _json.loads(it["rects_json"]):
+            lex_rows["media_ref"].append(r["ref"])
+            lex_rows["lexicon"].append(it["lexicon"])
+            lex_rows["lex_size"].append(it["lex_size"])
+    os.makedirs(out_dir + "_lexicon", exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(lex_rows),
+        os.path.join(out_dir + "_lexicon", "lexicon.parquet"),
+    )
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    return pads.dataset(files, format="parquet").count_rows()
