@@ -46,3 +46,65 @@ def write_boundary_txt(ds, out_dir: str, **kwargs) -> None:
 def write_json_results(ds, out_dir: str) -> None:
     """JSON-lines result dump (``ds.write_json`` — the mmcv.dump analog)."""
     ds.write_json(out_dir)
+
+
+def det_rows_to_line_json(batch: pa.Table) -> pa.Table:
+    """DET_SCHEMA rows -> one line-json string per image
+    (``tools/data/textdet/coco_to_line_dict.py:34-45`` output format):
+    ``{"file_name", "height", "width", "annotations": [...]}`` with the
+    annotation key order the reference emits. Output: (line)."""
+    import json
+
+    lines = []
+    for fn, h, w, anns in zip(
+        batch["file_name"].to_pylist(),
+        batch["height"].to_pylist(),
+        batch["width"].to_pylist(),
+        batch["annotations"].to_pylist(),
+    ):
+        lines.append(
+            json.dumps(
+                {
+                    "file_name": fn,
+                    "height": h,
+                    "width": w,
+                    "annotations": [
+                        {
+                            "iscrowd": a["iscrowd"],
+                            "category_id": a["category_id"],
+                            "bbox": a["bbox"],
+                            "segmentation": a["segmentation"],
+                        }
+                        for a in anns
+                    ],
+                }
+            )
+        )
+    return pa.Table.from_pydict({"line": pa.array(lines, pa.string())})
+
+
+def write_line_json(det_ds, out_dir: str) -> list[dict]:
+    """Distributed line-json export of a DET table — the COCO -> line-dict
+    conversion (LineJsonParser's input format) as a streaming sink.
+
+    Each task writes its block as one raw txt shard (csv writers would
+    quote-escape the json). Returns the (path, n_lines) shard manifest."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        lines = det_rows_to_line_json(batch)["line"].to_pylist()
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.txt")
+        with open(path, "w", encoding="utf-8") as f:
+            for ln in lines:
+                f.write(ln + "\n")
+        return pa.Table.from_pydict(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_lines": pa.array([len(lines)], pa.int64()),
+            }
+        )
+
+    return det_ds.map_batches(dump, batch_format="pyarrow").take_all()

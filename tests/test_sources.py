@@ -235,3 +235,51 @@ def test_gcn_annotation_parser():
     assert out["labels"].to_pylist() == [[0, 1]]
     assert out["text_inds"].to_pylist() == [[[3, 4], [5]]]
     assert out["edge_data"][0].as_py() == [[pytest.approx(0.9)]]
+
+
+def test_write_line_json_round_trips_det_rows(ray_session, tmp_path):
+    """COCO -> line-dict: the txt shards re-parse with parse_det_lines into
+    the identical DET rows (raw json lines, no csv escaping)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.sources.lines import DET_SCHEMA, parse_det_lines
+    from my_ocr_ray.sources.sinks import write_line_json
+
+    rows = pa.Table.from_pydict(
+        {
+            "file_name": ["a.png", "b.png"],
+            "height": [20, 40],
+            "width": [30, 60],
+            "annotations": [
+                [
+                    {"iscrowd": 0, "category_id": 1,
+                     "bbox": [0.0, 0.0, 10.0, 5.0],
+                     "segmentation": [[0.0, 0.0, 10.0, 0.0, 10.0, 5.0, 0.0, 5.0]]},
+                ],
+                [],
+            ],
+        },
+        schema=DET_SCHEMA,
+    )
+    out = tmp_path / "line_json"
+    manifest = write_line_json(
+        ray.data.from_arrow(rows).repartition(2), str(out)
+    )
+    assert sum(m["n_lines"] for m in manifest) == 2
+    lines = []
+    for m in manifest:
+        with open(m["path"], encoding="utf-8") as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    parsed = {json.loads(ln)["file_name"]: json.loads(ln) for ln in lines}
+    assert parsed["a.png"]["height"] == 20
+    assert parsed["a.png"]["annotations"][0]["bbox"] == [0.0, 0.0, 10.0, 5.0]
+    assert parsed["b.png"]["annotations"] == []
+    # re-parse through the engine's line-json reader: identical DET rows
+    back = parse_det_lines(
+        pa.Table.from_pydict({"text": pa.array(lines, pa.string())})
+    ).sort_by("file_name")
+    assert back["file_name"].to_pylist() == ["a.png", "b.png"]
+    assert back["annotations"][0].as_py()[0]["bbox"] == [0.0, 0.0, 10.0, 5.0]
