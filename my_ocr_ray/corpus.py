@@ -1084,57 +1084,62 @@ def chunk_windows(docs_ds, window: int = 32, stride: int = 24):
     whitespace split per block, then numpy range arithmetic builds a
     single gather index over the flat token array and ``pc.binary_join``
     re-joins every chunk in one kernel."""
+    return docs_ds.map_batches(
+        chunk_table, batch_format="pyarrow",
+        fn_kwargs={"window": window, "stride": stride},
+    )
 
-    def chunk_batch(batch: pa.Table) -> pa.Table:
-        empty = pa.Table.from_pydict(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "chunk_text": pa.array([], pa.string()),
-            }
-        )
-        flat, row_ids, n_rows = flat_tokens(batch["text"])
-        if n_rows == 0 or len(flat) == 0:
-            return empty
-        lens = np.bincount(row_ids, minlength=n_rows)
-        row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        n_chunks = -(-lens // stride)  # ceil; 0 tokens -> 0 chunks
-        total_chunks = int(n_chunks.sum())
-        if total_chunks == 0:
-            return empty
-        doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
-        chunk_ofs = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
-        chunk_idx = np.arange(total_chunks, dtype=np.int64) - np.repeat(
-            chunk_ofs, n_chunks
-        )
-        starts = row_start[doc_idx] + chunk_idx * stride
-        chunk_len = np.minimum(
-            window, row_start[doc_idx] + lens[doc_idx] - starts
-        )
-        gofs = np.concatenate(([0], np.cumsum(chunk_len)))
-        gather = (
-            np.arange(gofs[-1], dtype=np.int64)
-            - np.repeat(gofs[:-1], chunk_len)
-            + np.repeat(starts, chunk_len)
-        )
-        gathered = flat.take(pa.array(gather, pa.int64()))
-        if isinstance(gathered, pa.ChunkedArray):
-            gathered = gathered.combine_chunks()
-        lst = pa.ListArray.from_arrays(
-            pa.array(gofs, pa.int32()), gathered
-        )
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids[doc_idx], pa.int64()),
-                "chunk_idx": pa.array(chunk_idx, pa.int64()),
-                "n_tokens": pa.array(chunk_len, pa.int64()),
-                "chunk_text": pc.binary_join(lst, " "),
-            }
-        )
 
-    return docs_ds.map_batches(chunk_batch, batch_format="pyarrow")
+def chunk_table(batch: pa.Table, window: int, stride: int) -> pa.Table:
+    """The pure per-block chunking kernel behind :func:`chunk_windows`
+    (separate so invariants are property-testable without Ray)."""
+    empty = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    flat, row_ids, n_rows = flat_tokens(batch["text"])
+    if n_rows == 0 or len(flat) == 0:
+        return empty
+    lens = np.bincount(row_ids, minlength=n_rows)
+    row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_chunks = -(-lens // stride)  # ceil; 0 tokens -> 0 chunks
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+    chunk_ofs = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+        chunk_ofs, n_chunks
+    )
+    starts = row_start[doc_idx] + chunk_idx * stride
+    chunk_len = np.minimum(
+        window, row_start[doc_idx] + lens[doc_idx] - starts
+    )
+    gofs = np.concatenate(([0], np.cumsum(chunk_len)))
+    gather = (
+        np.arange(gofs[-1], dtype=np.int64)
+        - np.repeat(gofs[:-1], chunk_len)
+        + np.repeat(starts, chunk_len)
+    )
+    gathered = flat.take(pa.array(gather, pa.int64()))
+    if isinstance(gathered, pa.ChunkedArray):
+        gathered = gathered.combine_chunks()
+    lst = pa.ListArray.from_arrays(
+        pa.array(gofs, pa.int32()), gathered
+    )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(chunk_len, pa.int64()),
+            "chunk_text": pc.binary_join(lst, " "),
+        }
+    )
 
 
 def filter_funnel(docs_ds, lang: str = "en", min_tokens: int = 30):

@@ -253,3 +253,42 @@ def test_disc_rank_quantile_matches_duckdb_on_random_data(vals):
         ).fetchone()[0]
         s = sorted(vals)
         assert got == s[_disc_rank(q, len(s)) - 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=" ab", min_size=0, max_size=40), min_size=1, max_size=5
+    ),
+    window=st.integers(1, 6),
+    stride=st.integers(1, 6),
+)
+def test_chunk_table_matches_slice_reference(texts, window, stride):
+    """Every chunk equals the plain-Python token slice, per-doc chunk count
+    is ceil(T/stride), and n_tokens matches the slice length."""
+    import pyarrow as pa
+
+    from my_ocr_ray.corpus import chunk_table
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = chunk_table(t, window=window, stride=stride)
+    got = list(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["chunk_idx"].to_pylist(),
+            out["n_tokens"].to_pylist(),
+            out["chunk_text"].to_pylist(),
+        )
+    )
+    expect = []
+    for d, text in enumerate(texts):
+        toks = text.split()
+        for i in range(-(-len(toks) // stride)):
+            sl = toks[i * stride : i * stride + window]
+            expect.append((d, i, len(sl), " ".join(sl)))
+    assert sorted(got) == sorted(expect)
