@@ -528,7 +528,35 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4):
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 50):
+def _cc_single_block(batch: pa.Table) -> pa.Table:
+    """(src, dst) edge block (both directions present) -> (doc_id,
+    cluster_id = min reachable doc_id), fully in-memory: vectorized
+    hash-min propagation (``np.minimum.at`` over the edge arrays) plus
+    pointer jumping, converging in O(log diameter) rounds."""
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(src)  # both directions present -> src covers all
+    labels = nodes.copy()
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, dst_idx, labels[src_idx])
+        # pointer jumping: a label is itself a node id — adopt its label
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(labels, pa.int64()),
+        }
+    )
+
+
+def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 50,
+                         small_graph_rows: int = 2_000_000):
     """(doc_id, cluster_id) per node of the candidate-pair graph, where
     cluster_id = min doc_id reachable — the canonical-representative
     labelling a dedup pipeline keeps one document per cluster with.
@@ -582,6 +610,18 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 50)
     )
     if edges is None:
         return _empty_result()
+
+    # Small-graph fast path: the candidate-pair graph is DEDUP-CANDIDATE
+    # sized, usually tiny relative to the corpus. When the (already
+    # materialized) edge rows fit one task comfortably, a single
+    # vectorized min-propagation kernel with pointer jumping replaces the
+    # per-round join+groupby+materialize cycle (measured: each distributed
+    # round costs ~1.5s of exchange setup at bench scale). The iterative
+    # distributed path below remains the shape for web-scale graphs.
+    if edges.count() <= small_graph_rows:
+        return edges.repartition(1).map_batches(
+            _cc_single_block, batch_format="pyarrow", batch_size=None
+        )
 
     # round 0: label(n) = min(n, min direct neighbour)
     def with_self(batch: pa.Table) -> pa.Table:

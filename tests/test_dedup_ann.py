@@ -537,3 +537,29 @@ def test_embedding_clusters_merges_duplicate_chain(ray_session):
     out = connected_components(pairs).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == {7: 7, 31: 7, 44: 7}
+
+
+def test_connected_components_distributed_path_matches_fast_path(ray_session):
+    """Forcing the iterative distributed path (small_graph_rows=0) yields
+    exactly the labels of the single-block kernel on a multi-cluster chain
+    graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import connected_components
+
+    pairs = pa.Table.from_pydict(
+        {
+            # chain 1-2-3-4, pair (10,11), singleton-free: nodes only from edges
+            "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
+        }
+    )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for rows_cap in (0, 10_000):
+        out = connected_components(
+            ray.data.from_arrow(pairs).repartition(2),
+            small_graph_rows=rows_cap,
+        ).take_all()
+        got = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert got == expect, f"small_graph_rows={rows_cap}"
