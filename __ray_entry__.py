@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": Q.q_ann_filtered,
         "filter_funnel": Q.q_filter_funnel,
         "incremental_dedup": Q.q_incremental_dedup,
+        "dedup_rate": Q.q_dedup_rate,
     }
 
 
@@ -435,6 +436,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "dedup_rate": f"""
+        WITH f AS (SELECT source, {_FP} AS fp FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+               round(1 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate
+        FROM f GROUP BY source
         """,
         "filter_funnel": r"""
         WITH t AS (SELECT source, lang,

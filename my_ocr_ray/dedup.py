@@ -991,3 +991,50 @@ def incremental_dedup(new_docs_ds, known_docs_ds):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_rate_by_source(docs_ds):
+    """Per-source duplication report -> (source, n_docs, n_unique,
+    dup_rate): how much of each source is exact-duplicate mass — the
+    curation diagnostic that decides which sources need dedup first.
+
+    Two-level distinct: one exchange keyed on (source, fp) collapses
+    duplicates, then per-block Arrow partials (rows + doc counts per
+    source) and a source-sized Sum — no global distinct set is ever
+    collected."""
+    from ray.data.aggregate import Count, Sum
+
+    fps = docs_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"source": b["source"], "fp": fingerprint_batch(b)["fp"]}
+        ),
+        batch_format="pyarrow",
+    )
+    per_fp = fps.groupby(["source", "fp"]).aggregate(Count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [("count()", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_unique"])
+
+    agg = (
+        per_fp.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_unique"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch["sum(n_docs)"].to_pylist(), dtype=np.float64)
+        nu = np.asarray(batch["sum(n_unique)"].to_pylist(), dtype=np.float64)
+        rate = round_away(1.0 - nu / nd, 6)
+        return pa.Table.from_pydict(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(nd.astype(np.int64), pa.int64()),
+                "n_unique": pa.array(nu.astype(np.int64), pa.int64()),
+                "dup_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1644,3 +1644,12 @@ def q_incremental_dedup(sf_dir: str):
         docs.map_batches(new, batch_format="pyarrow"),
         docs.map_batches(known, batch_format="pyarrow"),
     )
+
+
+def q_dedup_rate(sf_dir: str):
+    """Per-source exact-duplicate mass report."""
+    from ..dedup import dedup_rate_by_source
+
+    return dedup_rate_by_source(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    )
