@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": Q.q_filter_funnel,
         "incremental_dedup": Q.q_incremental_dedup,
         "dedup_rate": Q.q_dedup_rate,
+        "quality_gate": Q.q_quality_gate,
     }
 
 
@@ -436,6 +437,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "quality_gate": r"""
+        WITH s AS (SELECT doc_id, lang,
+          round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1), 6) AS score
+          FROM documents),
+        m AS (SELECT lang, quantile_disc(score, 0.5) AS med
+              FROM s GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.score
+        FROM s JOIN m USING (lang) WHERE s.score >= m.med
         """,
         "dedup_rate": f"""
         WITH f AS (SELECT source, {_FP} AS fp FROM documents)

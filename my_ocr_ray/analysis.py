@@ -258,3 +258,69 @@ def length_outliers(docs_ds, key: str = "lang", col: str = "n_chars",
         return batch.filter(pa.array(keep))
 
     return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def quality_gate(docs_ds, q: float = 0.5):
+    """Adaptive per-language quality filter -> (doc_id, lang, score): keep
+    documents whose alpha-ratio score is at or above their language's
+    ``q``-quantile — thresholds derived from the corpus itself rather
+    than fixed constants, so the gate tracks per-language score
+    distributions.
+
+    Scale shape: scores are one vectorized map pass; the threshold comes
+    from a (lang, score) histogram exchange whose size is bounded by the
+    6-decimal score grid (<= 1e6 distinct values per language, however
+    large the corpus), reduced to one DuckDB-exact ``quantile_disc``
+    median per language (language-count rows) and broadcast into a pure
+    filter map — the corpus stream is never exchanged."""
+    from ray.data.aggregate import Count
+
+    from .relational import _disc_rank
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        alpha = _removed_len(text, "[A-Za-z]").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "score": pa.array(
+                    round_away(alpha / np.maximum(n_chars, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    scored = docs_ds.map_batches(score_batch, batch_format="pyarrow")
+    hist = scored.groupby(["lang", "score"]).aggregate(Count())
+
+    def med_rows(group: pa.Table) -> pa.Table:
+        v = group["score"].to_numpy(zero_copy_only=False)
+        c = group["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        cum = np.cumsum(c[order])
+        n = int(cum[-1])
+        pos = int(np.searchsorted(cum, _disc_rank(q, n)))
+        return pa.Table.from_pydict(
+            {
+                "lang": group["lang"].slice(0, 1),
+                "med": pa.array([float(v[order][pos])], pa.float64()),
+            }
+        )
+
+    meds = {
+        r["lang"]: r["med"]
+        for r in hist.groupby("lang")
+        .map_groups(med_rows, batch_format="pyarrow")
+        .take_all()  # language-count rows — driver-trivial
+    }
+
+    def gate(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        thr = np.array([meds[l] for l in langs], dtype=np.float64)
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sc >= thr))
+
+    return scored.map_batches(gate, batch_format="pyarrow")

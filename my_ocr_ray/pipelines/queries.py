@@ -1653,3 +1653,12 @@ def q_dedup_rate(sf_dir: str):
     return dedup_rate_by_source(
         _read(sf_dir, "documents", ["doc_id", "source", "text"])
     )
+
+
+def q_quality_gate(sf_dir: str):
+    """Per-language median-quality gate (alpha-ratio score)."""
+    from ..analysis import quality_gate
+
+    return quality_gate(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]), q=0.5
+    )
