@@ -511,6 +511,9 @@ def q_ocr_eval(sf_dir: str):
     out = extract(
         ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
         media_lookup_ref=lookup,
+        # 500-doc eval input: the cluster-sized actor pool would be pure
+        # startup cost, so cap it — the accuracy check is not a throughput run
+        ocr_concurrency=4,
     )
     expected = pads.dataset(
         sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"

@@ -95,6 +95,13 @@ def _configure_hash_shuffle(ds, num_partitions: int, aggregator_cpu_budget: floa
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     per_part = min(0.25, max(0.02, aggregator_cpu_budget / num_partitions))
     ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    # Downstream groupby/aggregate stages in the same plan inherit this
+    # context. Without the overrides below they plan
+    # default_hash_shuffle_parallelism=200 partitions — an aggregator pool
+    # far larger than the data, the cluster, or (on a 4-CPU test cluster)
+    # the available CPUs, which stalls the streaming executor outright.
+    ds.context.default_hash_shuffle_parallelism = num_partitions
+    ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
 
 
 def reassemble_hash(
