@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": Q.q_incremental_dedup,
         "dedup_rate": Q.q_dedup_rate,
         "quality_gate": Q.q_quality_gate,
+        "drop_dup_passages": Q.q_drop_dup_passages,
     }
 
 
@@ -437,6 +438,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "drop_dup_passages": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, CAST(i AS BIGINT) AS ci,
+                     array_to_string(toks[i*20+1 : i*20+20], ' ') AS ptext
+              FROM t, UNNEST(generate_series(0,
+                       CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1)) AS u(i)
+              WHERE len(toks) > 0),
+        h AS (SELECT doc_id, ci, ptext, md5(ptext) AS h FROM p),
+        own AS (SELECT h, min(doc_id * 1000000 + ci) AS okey FROM h GROUP BY h),
+        k AS (SELECT h.doc_id, h.ci, h.ptext,
+                     (h.doc_id * 1000000 + h.ci) = own.okey AS keep
+              FROM h JOIN own USING (h))
+        SELECT doc_id,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               coalesce(string_agg(CASE WHEN keep THEN ptext END, ' '
+                                   ORDER BY ci), '') AS text
+        FROM k GROUP BY doc_id
         """,
         "quality_gate": r"""
         WITH s AS (SELECT doc_id, lang,

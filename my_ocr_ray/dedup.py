@@ -721,6 +721,53 @@ def dedup_clusters(docs_ds, num_hashes: int = 8, band_size: int = 2, k: int = 3)
 _CI_BOUND = 1_000_000  # max passages per doc for the (doc_id, ci) packing
 
 
+def _passage_rows(batch: pa.Table, chunk: int, with_text: bool) -> pa.Table:
+    """documents block -> one row per consecutive ``chunk``-token passage:
+    (doc_id, ci, h[, ptext]). Shared by :func:`passage_dedup` (skinny,
+    no text) and :func:`drop_dup_passages` (rebuild pass carries text).
+    Empty documents emit no rows. Vectorized except the inherent
+    one-md5-per-passage loop."""
+    import hashlib
+
+    from .corpus import flat_tokens
+
+    cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "ci": pa.array([], pa.int64()),
+        "h": pa.array([], pa.string()),
+    }
+    if with_text:
+        cols["ptext"] = pa.array([], pa.string())
+    empty = pa.Table.from_pydict(cols)
+    toks, rows, _ = flat_tokens(batch["text"])
+    if not len(toks):
+        return empty
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+    seg_len = np.diff(np.concatenate((starts, [len(rows)])))
+    pos0 = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, seg_len)
+    ci = pos0 // chunk
+    brk = np.concatenate(
+        ([True], (rows[1:] != rows[:-1]) | (ci[1:] != ci[:-1]))
+    )
+    p_start = np.flatnonzero(brk)
+    offsets = np.concatenate((p_start, [len(rows)])).astype(np.int32)
+    texts = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), toks.combine_chunks()
+                                 if isinstance(toks, pa.ChunkedArray) else toks),
+        " ",
+    )
+    hexes = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
+    out = {
+        "doc_id": pa.array(doc[rows[p_start]], pa.int64()),
+        "ci": pa.array(ci[p_start], pa.int64()),
+        "h": pa.array(hexes, pa.string()),
+    }
+    if with_text:
+        out["ptext"] = texts
+    return pa.Table.from_pydict(out)
+
+
 def passage_dedup(docs_ds, chunk: int = 20, num_partitions: int | None = None):
     """Per-document repeated-passage statistics: split each doc's token
     stream into consecutive ``chunk``-token passages (last one shorter)
@@ -737,45 +784,10 @@ def passage_dedup(docs_ds, chunk: int = 20, num_partitions: int | None = None):
     vectorized per-block min after the hash exchange; per-doc counts
     then exchange once more as pre-aggregated skinny partials.
     Output: (doc_id, n_passages, n_dup, dup_frac)."""
-    import hashlib
-
-    from .corpus import flat_tokens
     from .windows import _hash_parts
 
     def passages(batch: pa.Table) -> pa.Table:
-        empty = pa.Table.from_pydict(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "ci": pa.array([], pa.int64()),
-                "h": pa.array([], pa.string()),
-            }
-        )
-        toks, rows, _ = flat_tokens(batch["text"])
-        if not len(toks):
-            return empty
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
-        seg_len = np.diff(np.concatenate((starts, [len(rows)])))
-        pos0 = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, seg_len)
-        ci = pos0 // chunk
-        brk = np.concatenate(
-            ([True], (rows[1:] != rows[:-1]) | (ci[1:] != ci[:-1]))
-        )
-        p_start = np.flatnonzero(brk)
-        offsets = np.concatenate((p_start, [len(rows)])).astype(np.int32)
-        texts = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), toks.combine_chunks()
-                                     if isinstance(toks, pa.ChunkedArray) else toks),
-            " ",
-        )
-        hexes = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc[rows[p_start]], pa.int64()),
-                "ci": pa.array(ci[p_start], pa.int64()),
-                "h": pa.array(hexes, pa.string()),
-            }
-        )
+        return _passage_rows(batch, chunk, with_text=False)
 
     def owner_counts(batch: pa.Table) -> pa.Table:
         empty = pa.Table.from_pydict(
@@ -1038,3 +1050,87 @@ def dedup_rate_by_source(docs_ds):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = None):
+    """Corpus-wide repeated-passage REMOVAL -> (doc_id, n_kept, n_dropped,
+    text): rewrite each document keeping only passages whose first corpus
+    occurrence it owns (lexicographic-min (doc_id, ci) owner, identical to
+    :func:`passage_dedup`'s accounting) — the transform counterpart of the
+    passage_dedup report, i.e. the CCNet/C4 repeated-paragraph scrub.
+
+    Shape: pass A ships only skinny (doc_id, ci, h) rows through one
+    h-keyed exchange and emits the DROP list (duplicate passages only,
+    dedup-candidate sized); the drop keys broadcast once as a sorted
+    array and the rebuild is a second pure map over the corpus — document
+    text never enters an exchange. When the duplicate mass outgrows a
+    broadcast, swap the membership filter for a doc_id-keyed join (the
+    :func:`incremental_dedup` note applies)."""
+    import ray
+
+    from .windows import _hash_parts
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        return _passage_rows(batch, chunk, with_text=False)
+
+    def dup_keys(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({"key": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        denc = batch["h"].combine_chunks().dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        key = (
+            batch["doc_id"].to_numpy(zero_copy_only=False) * _CI_BOUND
+            + batch["ci"].to_numpy(zero_copy_only=False)
+        )
+        first = np.full(len(denc.dictionary), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, key)
+        return pa.Table.from_pydict(
+            {"key": pa.array(key[key > first[codes]], pa.int64())}
+        )
+
+    drops = _hash_parts(
+        docs_ds.map_batches(skinny, batch_format="pyarrow"),
+        ["h"],
+        num_partitions,
+    ).map_batches(dup_keys, batch_format="pyarrow", batch_size=None)
+    drop_keys = np.asarray(sorted(drops.unique("key")), dtype=np.int64)
+    drop_ref = ray.put(drop_keys)
+
+    def rebuild(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
+        dk = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+        p = _passage_rows(batch, chunk, with_text=True)
+        if p.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        doc = p["doc_id"].to_numpy(zero_copy_only=False)
+        key = doc * _CI_BOUND + p["ci"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dk, key)
+        pos = np.clip(pos, 0, max(len(dk) - 1, 0))
+        dropped = (dk[pos] == key) if len(dk) else np.zeros(len(key), bool)
+        keep = ~dropped
+        # per-doc segments (passages are emitted doc-contiguous, ci order)
+        d_start = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        d_len = np.diff(np.append(d_start, len(doc)))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), d_start)
+        kept_text = p["ptext"].combine_chunks().filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), kept_text), " "
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc[d_start], pa.int64()),
+                "n_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_dropped": pa.array(d_len - kept_per_doc, pa.int64()),
+                "text": joined,
+            }
+        )
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")

@@ -1665,3 +1665,13 @@ def q_quality_gate(sf_dir: str):
     return quality_gate(
         _read(sf_dir, "documents", ["doc_id", "lang", "text"]), q=0.5
     )
+
+
+def q_drop_dup_passages(sf_dir: str):
+    """Repeated-passage scrub: rewrite documents keeping first-owner
+    20-token passages only."""
+    from ..dedup import drop_dup_passages
+
+    return drop_dup_passages(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk=20
+    )

@@ -563,3 +563,31 @@ def test_connected_components_distributed_path_matches_fast_path(ray_session):
         ).take_all()
         got = {r["doc_id"]: r["cluster_id"] for r in out}
         assert got == expect, f"small_graph_rows={rows_cap}"
+
+
+def test_drop_dup_passages_keeps_first_owner_text(ray_session):
+    """The first corpus occurrence of a passage survives; later copies are
+    scrubbed from their documents' rebuilt text."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import drop_dup_passages
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",          # passages (chunk=2): "a b", "c d"
+                    "c d e f a b",      # "c d" dup of doc1, "e f" fresh, "a b" dup
+                    "",                 # empty -> no output row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = drop_dup_passages(
+        ray.data.from_arrow(t).repartition(2), chunk=2
+    ).take_all()
+    got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["text"]) for r in out}
+    assert got == {1: (2, 0, "a b c d"), 2: (1, 2, "e f")}
