@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate": Q.q_dedup_rate,
         "quality_gate": Q.q_quality_gate,
         "drop_dup_passages": Q.q_drop_dup_passages,
+        "token_budget": Q.q_token_budget,
     }
 
 
@@ -438,6 +439,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "token_budget": r"""
+        WITH s AS (SELECT doc_id, source,
+                          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                            AS n_tokens,
+                          md5(CAST(doc_id AS VARCHAR)) AS r
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY r, doc_id) AS cum
+              FROM s)
+        SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400
         """,
         "drop_dup_passages": r"""
         WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

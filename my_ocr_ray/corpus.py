@@ -1198,3 +1198,71 @@ def filter_funnel(docs_ds, lang: str = "en", min_tokens: int = 30):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def token_budget_sample(docs_ds, budget: int = 2000, group_col: str = "source"):
+    """Data-recipe sampling -> (doc_id, group, n_tokens): walk each
+    group's documents in deterministic md5(doc_id) order and keep them
+    while the group's cumulative token count stays within ``budget`` —
+    the "fill each source's token quota" step of an LLM data mixture,
+    reproducible across runs and cluster sizes.
+
+    ONE hash exchange on the group key (token counts and the md5 rank
+    ride along as skinny columns); the per-block ordered cumulative sum
+    is vectorized. Same partitioning assumption as :func:`seq_pack`:
+    one group's rows co-locate in one block."""
+    import hashlib
+
+    from .windows import _hash_parts
+
+    def count_rank(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        ranks = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "grp": batch[group_col],
+                "n_tokens": pc.cast(n, pa.int64()),
+                "r": pa.array(ranks, pa.string()),
+            }
+        )
+
+    def take_within_budget(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        grp = np.asarray(batch["grp"].to_pylist(), dtype=object)
+        r = np.asarray(batch["r"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, r, grp))
+        g_s, n_s = grp[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        )
+        cum = np.cumsum(n_s)
+        # per-group cumulative sum: subtract the running total before the group
+        base = np.concatenate(([0], cum))[starts]
+        seg_len = np.diff(np.append(starts, len(g_s)))
+        keep = (cum - np.repeat(base, seg_len)) <= budget
+        sel = order[keep]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                group_col: pa.array(grp[sel].tolist(), pa.string()),
+                "n_tokens": pa.array(n[sel], pa.int64()),
+            }
+        )
+
+    return _hash_parts(
+        docs_ds.map_batches(count_rank, batch_format="pyarrow"), ["grp"]
+    ).map_batches(take_within_budget, batch_format="pyarrow", batch_size=None)

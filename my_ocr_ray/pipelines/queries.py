@@ -1675,3 +1675,13 @@ def q_drop_dup_passages(sf_dir: str):
     return drop_dup_passages(
         _read(sf_dir, "documents", ["doc_id", "text"]), chunk=20
     )
+
+
+def q_token_budget(sf_dir: str):
+    """Per-source token-quota sampling (budget 400 tokens per source)."""
+    from ..corpus import token_budget_sample
+
+    return token_budget_sample(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        budget=400, group_col="source",
+    )
