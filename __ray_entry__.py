@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": Q.q_quality_gate,
         "drop_dup_passages": Q.q_drop_dup_passages,
         "token_budget": Q.q_token_budget,
+        "diff_snapshots": Q.q_diff_snapshots,
     }
 
 
@@ -439,6 +440,21 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "diff_snapshots": f"""
+        WITH old AS (SELECT doc_id, {_FP} AS fp FROM documents
+                     WHERE doc_id % 10 < 5),
+        base AS (SELECT doc_id,
+                        text || ' ' || CASE WHEN doc_id % 20 = 3
+                                            THEN 'EDIT' ELSE '' END AS text
+                 FROM documents WHERE doc_id % 10 >= 2),
+        nw AS (SELECT doc_id, {_FP} AS fp FROM base)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
         """,
         "token_budget": r"""
         WITH s AS (SELECT doc_id, source,

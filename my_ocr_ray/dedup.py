@@ -1134,3 +1134,50 @@ def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = Non
         )
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def diff_snapshots(old_docs_ds, new_docs_ds, num_partitions: int = 8):
+    """Corpus snapshot diff -> (doc_id, status): 'added' (only in new),
+    'removed' (only in old), 'changed' (present in both, normalized-text
+    fingerprint differs) — the audit step between two versions of a
+    continuously-updated corpus; unchanged documents are dropped.
+
+    Both sides reduce map-side to skinny (doc_id, fp) rows; ONE
+    full-outer hash join on doc_id is the only exchange, and the status
+    classification is a vectorized map over the joined rows."""
+
+    def fps(ds):
+        return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def rename_new(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["nid", "nfp"])
+
+    joined = fps(old_docs_ds).join(
+        fps(new_docs_ds).map_batches(rename_new, batch_format="pyarrow"),
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("nid",),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        # full_outer coalesces the key: doc_id is never null; side presence
+        # is carried by the fp columns' nullness
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ofp = np.asarray(batch["fp"].to_pylist(), dtype=object)
+        nfp = np.asarray(batch["nfp"].to_pylist(), dtype=object)
+        only_new = np.array([v is None for v in ofp])
+        only_old = np.array([v is None for v in nfp])
+        changed = ~only_new & ~only_old & (ofp != nfp)
+        status = np.where(
+            only_new, "added", np.where(only_old, "removed", "changed")
+        )
+        keep = only_new | only_old | changed
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+                "status": pa.array(status[keep].tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

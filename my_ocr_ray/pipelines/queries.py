@@ -1685,3 +1685,33 @@ def q_token_budget(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]),
         budget=400, group_col="source",
     )
+
+
+def q_diff_snapshots(sf_dir: str):
+    """Snapshot diff: docs with doc_id % 10 < 5 form the old snapshot,
+    doc_id % 10 >= 2 the new one; new-side docs with doc_id % 20 == 3
+    get ' EDIT' appended to their text so all three statuses appear."""
+    from ..dedup import diff_snapshots
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 < 5))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 10 >= 2))
+        sids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        edited = pc.binary_join_element_wise(
+            sub["text"].combine_chunks(),
+            pa.array(np.where(sids % 20 == 3, "EDIT", "").tolist()),
+            " ",
+        )
+        # docs with no edit got a trailing space; fingerprinting strips it
+        return pa.Table.from_pydict({"doc_id": sub["doc_id"], "text": edited})
+
+    return diff_snapshots(
+        docs.map_batches(old_side, batch_format="pyarrow"),
+        docs.map_batches(new_side, batch_format="pyarrow"),
+    )

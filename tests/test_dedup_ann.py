@@ -591,3 +591,30 @@ def test_drop_dup_passages_keeps_first_owner_text(ray_session):
     ).take_all()
     got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["text"]) for r in out}
     assert got == {1: (2, 0, "a b c d"), 2: (1, 2, "e f")}
+
+
+def test_diff_snapshots_classifies_three_statuses(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import diff_snapshots
+
+    old = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["one", "two", "three"], pa.string()),
+        }
+    )
+    new = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([2, 3, 4], pa.int64()),
+            "text": pa.array(["two", "three EDITED", "four"], pa.string()),
+        }
+    )
+    out = diff_snapshots(
+        ray.data.from_arrow(old).repartition(2),
+        ray.data.from_arrow(new).repartition(2),
+        num_partitions=2,
+    ).take_all()
+    got = {r["doc_id"]: r["status"] for r in out}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
