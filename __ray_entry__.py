@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_dup_passages": Q.q_drop_dup_passages,
         "token_budget": Q.q_token_budget,
         "diff_snapshots": Q.q_diff_snapshots,
+        "validate": Q.q_validate,
     }
 
 
@@ -440,6 +441,27 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY {_FP}
+        """,
+        "validate": """
+        WITH m AS (
+          SELECT 'n_chars_matches_text' AS rule,
+                 CAST(sum(CASE WHEN length(text) <> n_chars
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM documents
+          UNION ALL
+          SELECT 'lang_known',
+                 CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(count(*) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'text_nonempty',
+                 CAST(sum(CASE WHEN length(text) = 0
+                          THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(count(*) AS BIGINT)
+          FROM documents)
+        SELECT * FROM m
         """,
         "diff_snapshots": f"""
         WITH old AS (SELECT doc_id, {_FP} AS fp FROM documents

@@ -324,3 +324,48 @@ def quality_gate(docs_ds, q: float = 0.5):
         return batch.filter(pa.array(sc >= thr))
 
     return scored.map_batches(gate, batch_format="pyarrow")
+
+
+def validate_table(ds, rules: dict[str, "callable"]):
+    """Data-quality audit -> (rule, n_violations, n_rows): evaluate each
+    named rule (a vectorized ``pa.Table -> bool ndarray`` predicate where
+    True = VALID) over every block and report corpus-wide violation
+    counts — the dbt-test / expectation-check step before a corpus ships.
+
+    Pure map-side partial counts (rules x blocks rows) + one tiny Sum
+    keyed by rule name; the data stream is never exchanged."""
+    from ray.data.aggregate import Sum
+
+    names = list(rules)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        viol, total = [], []
+        for name in names:
+            ok = np.asarray(rules[name](batch), dtype=bool)
+            viol.append(int((~ok).sum()))
+            total.append(batch.num_rows)
+        return pa.Table.from_pydict(
+            {
+                "rule": pa.array(names, pa.string()),
+                "v": pa.array(viol, pa.int64()),
+                "t": pa.array(total, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("v"), Sum("t"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["rule"],
+                pc.cast(batch["sum(v)"], pa.int64()),
+                pc.cast(batch["sum(t)"], pa.int64()),
+            ],
+            names=["rule", "n_violations", "n_rows"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -1715,3 +1715,29 @@ def q_diff_snapshots(sf_dir: str):
         docs.map_batches(old_side, batch_format="pyarrow"),
         docs.map_batches(new_side, batch_format="pyarrow"),
     )
+
+
+def q_validate(sf_dir: str):
+    """Documents-table quality audit: three vectorized expectations."""
+    from ..analysis import validate_table
+
+    rules = {
+        "n_chars_matches_text": lambda b: (
+            pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+            == b["n_chars"].to_numpy(zero_copy_only=False)
+        ),
+        "lang_known": lambda b: np.asarray(
+            pc.is_in(
+                b["lang"],
+                value_set=pa.array(["en", "de", "fr", "es"]),
+            ),
+            dtype=bool,
+        ),
+        "text_nonempty": lambda b: (
+            pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False) > 0
+        ),
+    }
+    return validate_table(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]),
+        rules,
+    )
