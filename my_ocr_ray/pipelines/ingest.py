@@ -256,7 +256,8 @@ def ingest_textocr(annotation_path: str, out_dir: str) -> int:
     return pads.dataset(files, format="parquet").count_rows()
 
 
-def ingest_svt(xml_path: str, img_root: str, out_dir: str) -> int:
+def ingest_svt(xml_path: str, img_root: str, out_dir: str,
+               resize: bool = False, height: int = 32, width: int = 100) -> int:
     """SVT-style test.xml -> cropped word-image media parquet + lexicon
     side table (``tools/data/textrecog/svt_converter.py:44-76``
     semantics): each taggedRectangle is cropped with rows/cols clamped
@@ -328,6 +329,14 @@ def ingest_svt(xml_path: str, img_root: str, out_dir: str) -> int:
                 sub = img[rb:re_, cb:ce]
                 if sub.size == 0:
                     sub = np.zeros((1, 1), dtype=np.uint8)
+                if resize:
+                    # the reference's --resize flag (cv2.resize to a fixed
+                    # recognizer input size); bilinear, then back to uint8
+                    from ..functions.imgops import resize_bilinear
+
+                    sub = np.clip(
+                        np.rint(resize_bilinear(sub, height, width)), 0, 255
+                    ).astype(np.uint8)
                 rows["media_ref"].append(r["ref"])
                 rows["bytes"].append(png_encode(np.ascontiguousarray(sub)))
                 rows["gt_text"].append(r["text"])

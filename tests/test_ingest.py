@@ -153,3 +153,27 @@ def test_ingest_svt(ray_session, tmp_path):
     lex = pads.dataset(str(out) + "_lexicon", format="parquet").to_table()
     assert lex["lexicon"].to_pylist() == ["foo,bar", "foo,bar"]
     assert lex["lex_size"].to_pylist() == [2, 2]
+
+
+def test_ingest_svt_resize(ray_session, tmp_path):
+    """--resize parity: crops come out at the fixed recognizer size."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from my_ocr_ray.functions.imaging import png_encode
+    from my_ocr_ray.pipelines.ingest import ingest_svt
+
+    img = np.arange(20 * 30, dtype=np.uint8).reshape(20, 30)
+    (tmp_path / "a.png").write_bytes(png_encode(img))
+    xml = """<tagset><image><imageName>a.png</imageName><lex>w</lex>
+      <taggedRectangles>
+        <taggedRectangle x="2" y="3" width="5" height="4"><tag>W</tag>
+        </taggedRectangle>
+      </taggedRectangles></image></tagset>"""
+    (tmp_path / "test.xml").write_text(xml)
+    out = tmp_path / "m"
+    n = ingest_svt(str(tmp_path / "test.xml"), str(tmp_path), str(out),
+                   resize=True, height=8, width=25)
+    assert n == 1
+    t = pads.dataset(str(out), format="parquet").to_table()
+    assert t["height"].to_pylist() == [8] and t["width"].to_pylist() == [25]

@@ -283,3 +283,24 @@ def test_write_line_json_round_trips_det_rows(ray_session, tmp_path):
     ).sort_by("file_name")
     assert back["file_name"].to_pylist() == ["a.png", "b.png"]
     assert back["annotations"][0].as_py()[0]["bbox"] == [0.0, 0.0, 10.0, 5.0]
+
+
+def test_read_table_dispatches_by_format(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from my_ocr_ray.sources.tables import read_table
+
+    t = pa.Table.from_pydict({"a": [1, 2], "b": ["x", "y"]})
+    pq.write_table(t, tmp_path / "t.parquet")
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+
+    got = read_table(str(tmp_path / "t.parquet"), columns=["a"]).take_all()
+    assert [r["a"] for r in got] == [1, 2] and "b" not in got[0]
+    got = read_table(str(tmp_path / "t.csv"), columns=["b"]).take_all()
+    assert sorted(r["b"] for r in got) == ["x", "y"]  # block order varies
+    with pytest.raises(ImportError, match="lance"):
+        read_table(str(tmp_path / "t.lance"))
+    with pytest.raises(ValueError, match="unsupported"):
+        read_table(str(tmp_path / "t.xyz"))
