@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
         "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
+        "pmi_bigrams": Q.q_pmi_bigrams,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1028,6 +1029,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "pmi_bigrams": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents)
+        ),
+        big AS (
+          SELECT a.tok AS w1, b.tok AS w2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        n AS (SELECT sum(c) AS n FROM bc),
+        cl AS (SELECT w1, sum(c) AS cl FROM bc GROUP BY w1),
+        cr AS (SELECT w2, sum(c) AS cr FROM bc GROUP BY w2),
+        scored AS (
+          SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS c,
+                 round(ln(bc.c * n.n / (cl.cl * cr.cr)), 6) AS pmi
+          FROM bc JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+          WHERE bc.c >= 5
+        )
+        SELECT w1, w2, c, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "bigram_lm": r"""
         WITH toks AS (

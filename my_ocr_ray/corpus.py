@@ -938,6 +938,74 @@ def bigram_lm_scores(docs_ds, k: float = 0.5):
     return docs_ds.map_batches(score, batch_format="pyarrow")
 
 
+def pmi_bigrams(docs_ds, k: int = 20, min_count: int = 5):
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the corpus-mining counterpart of :func:`bigram_lm_scores`
+    (phrase discovery / tokenizer-merge candidates).
+
+    PMI is computed over bigram events: with n = total bigrams,
+    cl(w) = bigrams whose left token is w, cr(w) = bigrams whose right
+    token is w, ``pmi(w1,w2) = ln(c * n / (cl * cr))``; pairs with
+    ``c < min_count`` are dropped first (the classic PMI singleton
+    pathology). Ranking sorts the ROUNDED pmi (ties broken by w1, w2) so
+    the ordering is deterministic and identical to the SQL twin.
+
+    Scale shape: the count pass is :func:`bigram_counts` (map-side Arrow
+    ``value_counts`` partials, one vocabulary²-sized combine block); the
+    marginals + ranking then run on that single small block with numpy
+    ``bincount`` over dictionary codes — no further exchange. Cap the
+    vocabulary (map rare tokens to <unk>) when vocab² stops fitting one
+    block."""
+    from .functions.num import round_away
+
+    empty = pa.Table.from_pydict(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = c.sum()
+        pair = batch.column("pair")
+        if isinstance(pair, pa.ChunkedArray):
+            pair = pair.combine_chunks()
+            if isinstance(pair, pa.ChunkedArray):
+                pair = pair.chunk(0)
+        split = pc.split_pattern(pair, "\x00")
+        w1 = pc.list_element(split, 0)
+        w2 = pc.list_element(split, 1)
+        d1 = w1.dictionary_encode()
+        d2 = w2.dictionary_encode()
+        i1 = np.asarray(d1.indices, dtype=np.int64)
+        i2 = np.asarray(d2.indices, dtype=np.int64)
+        cl = np.bincount(i1, weights=c)[i1]
+        cr = np.bincount(i2, weights=c)[i2]
+        pmi = round_away(np.log(c * n / (cl * cr)), 6)
+        keep = pa.array(c >= min_count)
+        t = pa.Table.from_pydict(
+            {
+                "w1": w1.filter(keep),
+                "w2": w2.filter(keep),
+                "c": pa.array(c[c >= min_count].astype(np.int64), pa.int64()),
+                "pmi": pa.array(pmi[c >= min_count], pa.float64()),
+            }
+        )
+        t = t.sort_by(
+            [("pmi", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+        )
+        return t.slice(0, k)
+
+    return bigram_counts(docs_ds).map_batches(
+        rank, batch_format="pyarrow", batch_size=None
+    )
+
+
 def seq_pack(docs_ds, budget: int = 200, group_col: str = "source",
              num_partitions: int | None = None):
     """Greedy sequence packing for LLM training-data prep: within each

@@ -1475,6 +1475,15 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 collocations by PMI over adjacent token pairs (min pair
+    count 5): distributed count pass, single-block marginals + ranking."""
+    from ..corpus import pmi_bigrams
+
+    return pmi_bigrams(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       k=20, min_count=5)
+
+
 def q_passage_dedup(sf_dir: str):
     """Passage-granular exact dedup statistics: 20-token passages keyed
     on md5, canonical first owner = lexicographic min (doc_id, ci);

@@ -464,6 +464,42 @@ def test_bigram_lm_hand_model(ray_session):
     assert by[1]["avg_logp"] > by[2]["avg_logp"]
 
 
+def test_pmi_bigrams_hand_values(ray_session):
+    """PMI verified by hand over bigram-event marginals; min_count drops
+    singleton pairs; ranking sorts rounded pmi with (w1, w2) tie-breaks."""
+    import math
+
+    import ray.data
+
+    from my_ocr_ray.corpus import pmi_bigrams
+
+    # bigrams: (a,b)x3, (b,a)x2, (x,y)x3  -> n=8
+    # cl: a=3, b=2, x=3 ; cr: b=3, a=2, y=3
+    t = _docs_table(
+        ["a b", "a b", "a b", "b a", "b a", "x y", "x y", "x y", "solo"],
+        ids=list(range(9)),
+    )
+    out = pmi_bigrams(
+        ray.data.from_arrow(t).repartition(3), k=10, min_count=2
+    ).take_all()
+    got = {(r["w1"], r["w2"]): (r["c"], r["pmi"]) for r in out}
+    n = 8
+    assert got[("a", "b")][0] == 3
+    assert abs(got[("a", "b")][1] - round(math.log(3 * n / (3 * 3)), 6)) < 1e-9
+    assert abs(got[("b", "a")][1] - round(math.log(2 * n / (2 * 2)), 6)) < 1e-9
+    assert abs(got[("x", "y")][1] - round(math.log(3 * n / (3 * 3)), 6)) < 1e-9
+    # exclusive pairs (x,y)/(b,a) outrank the diluted (a,b); rounded-pmi
+    # tie between (a,b) and (x,y) broken by w1
+    assert [(r["w1"], r["w2"]) for r in out] == [
+        ("b", "a"), ("a", "b"), ("x", "y")
+    ]
+    # min_count prunes: raise threshold above every pair count
+    none = pmi_bigrams(
+        ray.data.from_arrow(t).repartition(3), k=10, min_count=4
+    ).take_all()
+    assert none == []
+
+
 def test_seq_pack_greedy_boundaries(ray_session):
     """Packing restarts exactly when the budget would overflow; a
     document larger than the budget owns its sequence; groups pack
