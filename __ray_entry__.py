@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
         "pmi_bigrams": Q.q_pmi_bigrams,
+        "hash_split": Q.q_hash_split,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1029,6 +1030,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "hash_split": """
+        WITH b AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10 AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
         """,
         "pmi_bigrams": r"""
         WITH toks AS (

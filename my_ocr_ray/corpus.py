@@ -333,30 +333,36 @@ def tfidf_scores(docs_ds, n_docs: int | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _md5_buckets(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """First 60 bits of md5(str(id)) mod ``buckets`` — the deterministic
+    bucket assignment shared by :func:`hash_sample` and :func:`hash_split`
+    (SQL: ``('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT %
+    buckets``)."""
+    return np.fromiter(
+        (
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(i)).encode()).digest()[:8], "big"
+                )
+                >> 4
+            )
+            % buckets
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
 def hash_sample(docs_ds, buckets: int = 10, keep: int = 3):
     """Deterministic hash sample: keep rows whose md5-of-doc_id bucket is
     < ``keep`` of ``buckets``. Reproducible across runs/cluster sizes and
     pure map-side — the right way to subsample 100 TB (no random state,
-    no shuffle, resumable). Bucket = first 60 bits of md5(str(doc_id))
-    mod buckets (SQL: ``('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
-    :: BIGINT % buckets``)."""
+    no shuffle, resumable)."""
 
     def sample(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        b = np.fromiter(
-            (
-                (
-                    int.from_bytes(
-                        hashlib.md5(str(int(i)).encode()).digest()[:8], "big"
-                    )
-                    >> 4
-                )
-                % buckets
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        b = _md5_buckets(ids, buckets)
         keep_mask = pa.array(b < keep)
         sub = batch.filter(keep_mask)
         return sub.append_column(
@@ -364,6 +370,33 @@ def hash_sample(docs_ds, buckets: int = 10, keep: int = 3):
         )
 
     return docs_ds.map_batches(sample, batch_format="pyarrow")
+
+
+def hash_split(docs_ds, buckets: int = 10, train: int = 8, val: int = 1):
+    """Deterministic train/val/test split assignment: md5-of-doc_id bucket
+    < ``train`` -> 'train', < ``train+val`` -> 'val', else 'test'. Pure
+    map-side, reproducible across runs and cluster sizes, and STABLE under
+    corpus growth — a document keeps its split when new data arrives, the
+    property a random split lacks and the reason eval contamination audits
+    (:func:`decontaminate`) can trust historical splits. Output keeps
+    doc_id + bucket + split; join back on doc_id to materialize the
+    per-split corpora (or filter map-side with the same kernel)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = _md5_buckets(ids, buckets)
+        split = np.where(
+            b < train, "train", np.where(b < train + val, "val", "test")
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(b, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1475,6 +1475,15 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (8/1/1 of 10
+    md5 buckets): pure map-side, stable under corpus growth."""
+    from ..corpus import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id"]),
+                      buckets=10, train=8, val=1)
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Top-20 collocations by PMI over adjacent token pairs (min pair
     count 5): distributed count pass, single-block marginals + ranking."""

@@ -464,6 +464,33 @@ def test_bigram_lm_hand_model(ray_session):
     assert by[1]["avg_logp"] > by[2]["avg_logp"]
 
 
+def test_hash_split_deterministic_and_stable(ray_session):
+    """Split assignment agrees with hash_sample's buckets, is identical
+    across runs/partitionings, and is stable under corpus growth (old
+    doc_ids keep their split when new docs arrive)."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.corpus import hash_split
+
+    t = pa.Table.from_pydict({"doc_id": pa.array(range(200), pa.int64())})
+    out = hash_split(ray.data.from_arrow(t).repartition(4)).take_all()
+    by = {r["doc_id"]: (r["bucket"], r["split"]) for r in out}
+    assert len(by) == 200
+    for b, s in by.values():
+        assert s == ("train" if b < 8 else "val" if b < 9 else "test")
+    # all three splits populated at n=200 with 8/1/1 buckets
+    assert {s for _, s in by.values()} == {"train", "val", "test"}
+    # different partitioning, same assignment
+    out2 = hash_split(ray.data.from_arrow(t).repartition(7)).take_all()
+    assert {r["doc_id"]: (r["bucket"], r["split"]) for r in out2} == by
+    # growth stability: the 200-doc prefix of a 400-doc corpus is unchanged
+    t2 = pa.Table.from_pydict({"doc_id": pa.array(range(400), pa.int64())})
+    out3 = hash_split(ray.data.from_arrow(t2).repartition(4)).take_all()
+    by3 = {r["doc_id"]: (r["bucket"], r["split"]) for r in out3}
+    assert {k: v for k, v in by3.items() if k < 200} == by
+
+
 def test_pmi_bigrams_hand_values(ray_session):
     """PMI verified by hand over bigram-event marginals; min_count drops
     singleton pairs; ranking sorts rounded pmi with (w1, w2) tie-breaks."""
