@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "simhash": Q.q_simhash,
         "jaccard_adjacent": Q.q_jaccard_adjacent,
+        "containment": Q.q_containment,
         "embedding_dups": Q.q_embedding_dups,
         # embeddings / ANN
         "embedding_centroids": Q.q_embedding_centroids,
@@ -640,6 +641,24 @@ def oracle_sql() -> dict[str, str]:
             ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s)))
           END, 6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "containment": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CASE WHEN len(a.s) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(a.s) END, 6) AS a_in_b,
+          round(CASE WHEN len(b.s) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(b.s) END, 6) AS b_in_a
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "embedding_dups": "WITH " + _EMB_CAND_CTE + """

@@ -250,6 +250,53 @@ def jaccard_pairs(docs_ds, k: int = 3, num_partitions: int = 8):
     return joined.map_batches(compute, batch_format="pyarrow")
 
 
+def containment_pairs(docs_ds, k: int = 3, num_partitions: int = 8):
+    """Asymmetric n-gram containment of each (doc_id, doc_id+1) pair, both
+    directions — catches a short document quoted inside a long one, which
+    symmetric Jaccard under-scores (|∩|/|∪| is diluted by the long side).
+    Same join shape and scale story as :func:`jaccard_pairs`: demonstrated
+    over a linear candidate set; a real run feeds LSH candidates, so the
+    kernel only ever touches candidate pairs, never all-pairs."""
+    from .functions.textproc import containment_ngrams
+
+    def key_next(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.add(batch["doc_id"], 1), batch["doc_id"], batch["text"]],
+            names=["join_id", "doc_a", "text_a"],
+        )
+
+    def key_self(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["join_id", "text_b"]
+        )
+
+    left = docs_ds.map_batches(key_next, batch_format="pyarrow")
+    right = docs_ds.map_batches(key_self, batch_format="pyarrow")
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("join_id",)
+    )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["join_id"],
+                "a_in_b": pa.array(
+                    [containment_ngrams(a, b, k) for a, b in zip(ta, tb)],
+                    pa.float64(),
+                ),
+                "b_in_a": pa.array(
+                    [containment_ngrams(b, a, k) for a, b in zip(ta, tb)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(compute, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     emb_ds,
     threshold: float = 0.9,

@@ -318,6 +318,17 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     return round_away_scalar(len(sa & sb) / u, 6) if u else 0.0
 
 
+def containment_ngrams(a: str, b: str, k: int = 3) -> float:
+    """Asymmetric containment ``|shingles(a) ∩ shingles(b)| / |shingles(a)|``
+    (distinct k-word shingles, rounded to 6 dp) — near 1.0 when ``a`` is
+    quoted/embedded inside ``b`` even if ``b`` is much longer, the case
+    symmetric Jaccard under-scores. 0.0 when ``a`` has no shingles."""
+    sa, sb = set(shingles(a, k)), set(shingles(b, k))
+    if not sa:
+        return 0.0
+    return round_away_scalar(len(sa & sb) / len(sa), 6)
+
+
 def string_strip(text: str, strip: bool = True, strip_pos: str = "both",
                  strip_str: str | None = None) -> str:
     """``StringStrip`` semantics (``mmocr/utils/string_util.py:1-35``)."""

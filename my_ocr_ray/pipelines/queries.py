@@ -328,6 +328,14 @@ def q_jaccard_adjacent(sf_dir: str):
     return jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric n-gram containment over the adjacent-id candidate set,
+    both directions — the quote/subset-duplication verifier."""
+    from ..dedup import containment_pairs
+
+    return containment_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
 def q_embedding_dups(sf_dir: str):
     """12 sign-planes x 2 bands at these table sizes (500-5000 vectors):
     2^12 buckets per band leaves a nonzero candidate set so the oracle

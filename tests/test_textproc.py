@@ -93,6 +93,22 @@ def test_jaccard():
     assert jaccard_ngrams("a b c d", "x y z w") == 0.0
 
 
+def test_containment_asymmetric():
+    from my_ocr_ray.functions.textproc import containment_ngrams
+
+    short = "a b c d"
+    long = "x y z a b c d e f g h"
+    # the short doc is fully quoted inside the long one
+    assert containment_ngrams(short, long) == 1.0
+    # but the long doc is mostly NOT in the short one (2 of 9 shingles)
+    assert 0.0 < containment_ngrams(long, short) < 0.5
+    # Jaccard under-scores the same pair (dilution by the long side)
+    assert jaccard_ngrams(short, long) < containment_ngrams(short, long)
+    # no shingles on the left -> 0.0 by definition
+    assert containment_ngrams("a b", long) == 0.0
+    assert containment_ngrams("a b c", "q r s") == 0.0
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
