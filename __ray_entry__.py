@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": Q.q_simhash,
         "jaccard_adjacent": Q.q_jaccard_adjacent,
         "containment": Q.q_containment,
+        "split_leakage": Q.q_split_leakage,
         "embedding_dups": Q.q_embedding_dups,
         # embeddings / ANN
         "embedding_centroids": Q.q_embedding_centroids,
@@ -566,6 +567,48 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "split_leakage": _SIGS_CTE
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        shd AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM t),
+        sp AS (SELECT doc_id,
+          CASE WHEN bkt < 8 THEN 'train'
+               WHEN bkt < 9 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 AS bkt
+                FROM documents)),
+        v AS (SELECT c.doc_a, c.doc_b,
+          round(CASE
+            WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+            WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+            ELSE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))
+          END, 6) AS jaccard,
+          sa.split AS split_a, sb.split AS split_b
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.doc_a
+          JOIN shd b ON b.doc_id = c.doc_b
+          JOIN sp sa ON sa.doc_id = c.doc_a
+          JOIN sp sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jaccard, split_a, split_b FROM v
+        WHERE jaccard >= 0.5 AND split_a <> split_b
         """,
         "dedup_clusters": _SIGS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
         + f""",

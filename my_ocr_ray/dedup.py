@@ -297,6 +297,94 @@ def containment_pairs(docs_ds, k: int = 3, num_partitions: int = 8):
     return joined.map_batches(compute, batch_format="pyarrow")
 
 
+def split_leakage(docs_ds, num_hashes: int = 4, band_size: int = 2, k: int = 3,
+                  thr: float = 0.5, buckets: int = 10, train: int = 8,
+                  val: int = 1, num_partitions: int = 8):
+    """Eval-contamination audit through NEAR duplicates: verified near-dup
+    pairs that straddle the deterministic train/val/test boundary
+    (:func:`my_ocr_ray.corpus.hash_split`). Exact-match decontamination
+    (:func:`my_ocr_ray.corpus.decontaminate`) misses these — a test
+    document whose lightly-edited twin sits in train leaks evaluation
+    signal without sharing a single 5-gram verbatim.
+
+    Scale shape: candidates come from banded MinHash-LSH (never
+    all-pairs); texts are joined back with two id-keyed hash exchanges
+    (pair rows are tiny — broadcast the text side instead when it fits);
+    Jaccard verification runs per candidate; and the split flags are a
+    PURE FUNCTION of doc_id (md5 buckets), so the leakage filter itself
+    adds zero exchanges."""
+    from .corpus import _md5_buckets
+    from .functions.textproc import jaccard_ngrams
+
+    pairs = lsh_candidate_pairs(
+        docs_ds, num_hashes=num_hashes, band_size=band_size, k=k,
+        num_partitions=num_partitions,
+    )
+
+    def as_a(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["doc_a", "text_a"]
+        )
+
+    def as_b(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["doc_b", "text_b"]
+        )
+
+    j = pairs.join(
+        docs_ds.map_batches(as_a, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("doc_a",),
+    ).join(
+        docs_ds.map_batches(as_b, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("doc_b",),
+    )
+
+    empty = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "split_a": pa.array([], pa.string()),
+            "split_b": pa.array([], pa.string()),
+        }
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        jac = np.array(
+            [
+                jaccard_ngrams(a, b, k)
+                for a, b in zip(
+                    batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+                )
+            ],
+            dtype=np.float64,
+        )
+        da = batch["doc_a"].to_numpy(zero_copy_only=False)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False)
+
+        def split_of(ids: np.ndarray) -> np.ndarray:
+            b = _md5_buckets(ids, buckets)
+            return np.where(
+                b < train, "train", np.where(b < train + val, "val", "test")
+            )
+
+        sa, sb = split_of(da), split_of(db)
+        keep = (jac >= thr) & (sa != sb)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+                "split_a": pa.array(sa[keep], pa.string()),
+                "split_b": pa.array(sb[keep], pa.string()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     emb_ds,
     threshold: float = 0.9,

@@ -328,6 +328,18 @@ def q_jaccard_adjacent(sf_dir: str):
     return jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q_split_leakage(sf_dir: str):
+    """Near-dup pairs (LSH candidates verified at jaccard >= 0.5) that
+    cross the deterministic train/val/test boundary — the contamination
+    exact-match decontamination misses."""
+    from ..dedup import split_leakage
+
+    return split_leakage(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_hashes=4, band_size=2, k=3, thr=0.5,
+    )
+
+
 def q_containment(sf_dir: str):
     """Asymmetric n-gram containment over the adjacent-id candidate set,
     both directions — the quote/subset-duplication verifier."""

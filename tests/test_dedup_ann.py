@@ -56,6 +56,47 @@ def test_lsh_finds_near_duplicate_pair(ray_session, doc_table):
     assert (1, 101) in pairset    # near-dup shares most shingles
 
 
+def test_split_leakage_flags_cross_split_dups_only(ray_session):
+    """A duplicated text whose two owners hash into different splits is
+    flagged; the same text duplicated within one split is not."""
+    import ray.data
+
+    from my_ocr_ray.corpus import _md5_buckets
+    from my_ocr_ray.dedup import split_leakage
+
+    ids = np.arange(60, dtype=np.int64)
+    b = _md5_buckets(ids, 10)
+    train_ids = ids[b < 8]
+    test_ids = ids[b >= 9]
+    assert len(train_ids) >= 2 and len(test_ids) >= 1
+    leak_a, leak_b = int(train_ids[0]), int(test_ids[0])
+    safe_a, safe_b = int(train_ids[1]), int(train_ids[2])
+    dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [
+        dup if i in (leak_a, leak_b, safe_a, safe_b)
+        else f"unique filler sentence number {i} with distinct trailing words {i * 7}"
+        for i in ids
+    ]
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    out = split_leakage(
+        ray.data.from_arrow(t).repartition(3), thr=0.5, num_partitions=2
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"], r["jaccard"])
+             for r in out}
+    # every flagged pair genuinely crosses the boundary
+    assert all(sa != sb for sa, sb, _ in pairs.values())
+    # the cross-split duplicate is caught at jaccard 1.0 ...
+    leaked = {p for p in pairs if leak_b in p}
+    assert leaked and all(
+        set(p) <= {leak_a, leak_b, safe_a, safe_b} for p in leaked
+    )
+    assert all(pairs[p][2] == 1.0 for p in leaked)
+    # ... and the within-train duplicate pair is NOT flagged
+    assert (min(safe_a, safe_b), max(safe_a, safe_b)) not in pairs
+
+
 def test_jaccard_separates_dup_from_unrelated():
     from my_ocr_ray.functions.textproc import jaccard_ngrams
 
