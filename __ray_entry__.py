@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": Q.q_bigram_lm,
         "pmi_bigrams": Q.q_pmi_bigrams,
         "hash_split": Q.q_hash_split,
+        "source_divergence": Q.q_source_divergence,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1092,6 +1093,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "source_divergence": r"""
+        WITH t AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        s AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        tot AS (SELECT sum(c) AS n FROM s),
+        g AS (SELECT tok, sum(c) AS cg FROM s GROUP BY tok),
+        sn AS (SELECT source, sum(c) AS ns FROM s GROUP BY source)
+        SELECT s.source, CAST(sn.ns AS BIGINT) AS n_tokens,
+               round(sum((s.c / sn.ns) * ln((s.c / sn.ns) / (g.cg / tot.n))), 6)
+                 AS kl
+        FROM s JOIN g USING (tok) JOIN sn USING (source) CROSS JOIN tot
+        GROUP BY s.source, sn.ns
         """,
         "hash_split": """
         WITH b AS (SELECT doc_id,

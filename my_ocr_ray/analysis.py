@@ -326,6 +326,89 @@ def quality_gate(docs_ds, q: float = 0.5):
     return scored.map_batches(gate, batch_format="pyarrow")
 
 
+def source_divergence(docs_ds):
+    """Per-source KL divergence of the token distribution from the corpus
+    mixture — the domain-drift / mixture-observability report: a source
+    whose language shifts (or whose scraper broke) jumps in KL long before
+    eyeballing samples would catch it.
+
+    ``kl(source) = Σ_tok p_s(tok) · ln(p_s(tok) / p_g(tok))`` where p_s is
+    the source's token distribution and p_g the global one. Both come from
+    ONE (source, token) count table: map-side Arrow ``value_counts``
+    partials on a ``source\\x00token`` key, a single vocabulary×sources-
+    sized combine block (hash-exchange on source instead when vocabularies
+    stop fitting, as :func:`my_ocr_ray.corpus.inverted_index` does), and
+    the global distribution is the token marginal of that same block — no
+    second corpus pass."""
+    from .functions.num import round_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        values, offsets, nonempty = _token_lists(batch["text"])
+        n_rows = len(offsets) - 1
+        row_of = np.repeat(np.arange(n_rows), np.diff(offsets))[nonempty]
+        toks = values.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        src = batch["source"].combine_chunks() if isinstance(
+            batch["source"], pa.ChunkedArray
+        ) else batch["source"]
+        key = pc.binary_join_element_wise(src.take(pa.array(row_of)), toks, "\x00")
+        vc = key.value_counts()
+        return pa.Table.from_pydict(
+            {"key": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("key").aggregate([("c", "sum")])
+        return g.rename_columns(["key", "c"])
+
+    empty = pa.Table.from_pydict(
+        {
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl": pa.array([], pa.float64()),
+        }
+    )
+
+    def kl(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = batch.column("key")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+            if isinstance(key, pa.ChunkedArray):
+                key = key.chunk(0)
+        split = pc.split_pattern(key, "\x00")
+        src = pc.list_element(split, 0)
+        tok = pc.list_element(split, 1)
+        ds_ = src.dictionary_encode()
+        dt_ = tok.dictionary_encode()
+        i_s = np.asarray(ds_.indices, dtype=np.int64)
+        i_t = np.asarray(dt_.indices, dtype=np.int64)
+        ns = np.bincount(i_s, weights=c)          # tokens per source
+        cg = np.bincount(i_t, weights=c)          # global token counts
+        n = c.sum()
+        contrib = (c / ns[i_s]) * np.log((c / ns[i_s]) / (cg[i_t] / n))
+        kl_s = np.bincount(i_s, weights=contrib, minlength=len(ns))
+        return pa.Table.from_pydict(
+            {
+                "source": ds_.dictionary,
+                "n_tokens": pa.array(ns.astype(np.int64), pa.int64()),
+                "kl": pa.array(round_away(kl_s, 6), pa.float64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .map_batches(kl, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def validate_table(ds, rules: dict[str, "callable"]):
     """Data-quality audit -> (rule, n_violations, n_rows): evaluate each
     named rule (a vectorized ``pa.Table -> bool ndarray`` predicate where

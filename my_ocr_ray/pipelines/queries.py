@@ -1495,6 +1495,15 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_source_divergence(sf_dir: str):
+    """Per-source token-distribution KL divergence from the corpus
+    mixture (domain-drift observability): one (source, token) count
+    exchange; the global distribution is that table's own marginal."""
+    from ..analysis import source_divergence
+
+    return source_divergence(_read(sf_dir, "documents", ["source", "text"]))
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test split assignment (8/1/1 of 10
     md5 buckets): pure map-side, stable under corpus growth."""

@@ -559,6 +559,40 @@ def test_seq_pack_greedy_boundaries(ray_session):
     }
 
 
+def test_source_divergence_hand_kl(ray_session):
+    """KL verified by hand over a two-source mixture; a source whose
+    distribution equals the global mixture scores exactly 0."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.analysis import source_divergence
+
+    def tbl(rows):
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([s for s, _ in rows], pa.string()),
+                "text": pa.array([t for _, t in rows], pa.string()),
+            }
+        )
+
+    # source a: x:2 y:1 ; source b: x:1 y:2 ; global: x:3 y:3
+    t = tbl([("a", "x x y"), ("b", "x y y")])
+    out = source_divergence(ray.data.from_arrow(t).repartition(2)).take_all()
+    by = {r["source"]: r for r in out}
+    expect = round((2 / 3) * math.log((2 / 3) / 0.5)
+                   + (1 / 3) * math.log((1 / 3) / 0.5), 6)
+    assert by["a"]["n_tokens"] == 3 and by["b"]["n_tokens"] == 3
+    assert abs(by["a"]["kl"] - expect) < 1e-9
+    assert abs(by["b"]["kl"] - expect) < 1e-9  # symmetric mixture
+    # single source == global mixture -> kl is exactly 0
+    solo = source_divergence(
+        ray.data.from_arrow(tbl([("a", "x x y"), ("a", "z")])).repartition(2)
+    ).take_all()
+    assert solo == [{"source": "a", "n_tokens": 4, "kl": 0.0}]
+
+
 def test_length_outliers_flags_extremes(ray_session):
     """Only strata with >= 2 rows participate, and exactly the injected
     extreme value is flagged."""
