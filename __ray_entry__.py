@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": Q.q_pmi_bigrams,
         "hash_split": Q.q_hash_split,
         "source_divergence": Q.q_source_divergence,
+        "oov_rate": Q.q_oov_rate,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1093,6 +1094,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "oov_rate": r"""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok
+                               ORDER BY c DESC, tok LIMIT 200)),
+        p AS (SELECT doc_id, count(*) AS n,
+                     count(*) FILTER (tok NOT IN (SELECT tok FROM v)) AS o
+              FROM t GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+               round(CAST(coalesce(p.o, 0) AS DOUBLE)
+                     / greatest(coalesce(p.n, 0), 1), 6) AS oov
+        FROM documents d LEFT JOIN p USING (doc_id)
         """,
         "source_divergence": r"""
         WITH t AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok

@@ -326,6 +326,57 @@ def quality_gate(docs_ds, q: float = 0.5):
     return scored.map_batches(gate, batch_format="pyarrow")
 
 
+def oov_rate(docs_ds, vocab_k: int = 1000):
+    """Per-document out-of-vocabulary token fraction against the corpus's
+    own top-``vocab_k`` vocabulary — high OOV flags garbled extractions,
+    encoding damage and off-domain noise that length/punctuation heuristics
+    (:func:`quality_batch`) miss.
+
+    Two-pass broadcast shape (same as TF-IDF): pass 1 is the exact
+    distributed top-k (:func:`my_ocr_ray.corpus.ngram_topk` at n=1 — the
+    only driver materialization is the k-row vocabulary itself), shipped
+    once via ``ray.put``; pass 2 is a pure vectorized map using Arrow
+    ``is_in`` against the broadcast value set."""
+    import ray
+
+    from .corpus import flat_tokens, ngram_topk
+    from .functions.num import round_away
+
+    vocab_rows = ngram_topk(docs_ds, n=1, k=vocab_k).take_all()  # k rows
+    vocab = pa.array(sorted(r["ngram"] for r in vocab_rows), pa.string())
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table, vocab_ref=vocab_ref) -> pa.Table:
+        voc = (
+            ray.get(vocab_ref)
+            if isinstance(vocab_ref, ray.ObjectRef)
+            else vocab_ref
+        )
+        toks, rows, n_rows = flat_tokens(batch["text"])
+        if len(toks):
+            n_tok = np.bincount(rows, minlength=n_rows).astype(np.int64)
+            flags = pc.invert(pc.is_in(toks, value_set=voc)).to_numpy(
+                zero_copy_only=False
+            )
+            oov_ct = np.bincount(
+                rows, weights=flags.astype(np.float64), minlength=n_rows
+            )
+        else:
+            n_tok = np.zeros(n_rows, dtype=np.int64)
+            oov_ct = np.zeros(n_rows, dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "oov": pa.array(
+                    round_away(oov_ct / np.maximum(n_tok, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
 def source_divergence(docs_ds):
     """Per-source KL divergence of the token distribution from the corpus
     mixture — the domain-drift / mixture-observability report: a source

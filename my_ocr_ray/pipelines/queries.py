@@ -1495,6 +1495,14 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary fraction vs the corpus top-200 vocab
+    (exact distributed top-k broadcast once, then a pure map)."""
+    from ..analysis import oov_rate
+
+    return oov_rate(_read(sf_dir, "documents", ["doc_id", "text"]), vocab_k=200)
+
+
 def q_source_divergence(sf_dir: str):
     """Per-source token-distribution KL divergence from the corpus
     mixture (domain-drift observability): one (source, token) count

@@ -559,6 +559,27 @@ def test_seq_pack_greedy_boundaries(ray_session):
     }
 
 
+def test_oov_rate_against_topk_vocab(ray_session):
+    """Vocab = exact global top-k with the (count desc, token asc)
+    tie-break; OOV fractions verified by hand; empty docs score 0."""
+    import ray.data
+
+    from my_ocr_ray.analysis import oov_rate
+
+    # counts: a=3, b=2, c=2, d=1 -> top-2 vocab = {a, b} (b beats c on text)
+    t = _docs_table(["a a a", "b b c", "c d", ""], ids=[0, 1, 2, 3])
+    out = oov_rate(
+        ray.data.from_arrow(t).repartition(3), vocab_k=2
+    ).take_all()
+    by = {r["doc_id"]: (r["n_tokens"], r["oov"]) for r in out}
+    assert by == {
+        0: (3, 0.0),
+        1: (3, round(1 / 3, 6)),
+        2: (2, 1.0),
+        3: (0, 0.0),
+    }
+
+
 def test_source_divergence_hand_kl(ray_session):
     """KL verified by hand over a two-source mixture; a source whose
     distribution equals the global mixture scores exactly 0."""
