@@ -73,6 +73,28 @@ _SH3 = (
     f"+ {_th('toks[i+2]')}) % {_P}"
 )
 
+# n-gram language-ID scoring (analysis.lang_id_batch), shared by the lang_id
+# per-doc listing and the lang_confusion declared-vs-detected matrix.
+_LANGID_SQL = rf"""
+        WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, text,
+          len(list_filter(toks, x -> lower(x) IN ({_EN_SW}))) AS en,
+          len(list_filter(toks, x -> lower(x) IN ({_DE_SW}))) AS de,
+          len(list_filter(toks, x -> lower(x) IN ({_FR_SW}))) AS fr,
+          len(list_filter(toks, x -> lower(x) IN ({_ES_SW}))) AS es
+        FROM t)
+        SELECT doc_id, CASE
+          WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+               > 0.2 * greatest(length(text), 1) THEN 'zh'
+          WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          WHEN de >= fr AND de >= es THEN 'de'
+          WHEN fr >= es THEN 'fr'
+          ELSE 'es' END AS lang_pred
+        FROM s
+        """
+
 _SIGS_CTE = rf"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
 sh AS (
@@ -202,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": Q.q_hash_split,
         "source_divergence": Q.q_source_divergence,
         "oov_rate": Q.q_oov_rate,
+        "lang_confusion": Q.q_lang_confusion,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -374,24 +397,12 @@ def oracle_sql() -> dict[str, str]:
                 / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stopword_ratio
         FROM documents
         """,
-        "lang_id": rf"""
-        WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
-                   FROM documents),
-        s AS (SELECT doc_id, text,
-          len(list_filter(toks, x -> lower(x) IN ({_EN_SW}))) AS en,
-          len(list_filter(toks, x -> lower(x) IN ({_DE_SW}))) AS de,
-          len(list_filter(toks, x -> lower(x) IN ({_FR_SW}))) AS fr,
-          len(list_filter(toks, x -> lower(x) IN ({_ES_SW}))) AS es
-        FROM t)
-        SELECT doc_id, CASE
-          WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
-               > 0.2 * greatest(length(text), 1) THEN 'zh'
-          WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-          WHEN de >= fr AND de >= es THEN 'de'
-          WHEN fr >= es THEN 'fr'
-          ELSE 'es' END AS lang_pred
-        FROM s
+        "lang_id": _LANGID_SQL,
+        "lang_confusion": f"""
+        WITH p AS ({_LANGID_SQL})
+        SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN p USING (doc_id)
+        GROUP BY d.lang, p.lang_pred
         """,
         "fingerprint": f"SELECT doc_id, {_FP} AS fp FROM documents",
         "pii_redact": _pii_sql(),

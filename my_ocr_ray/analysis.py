@@ -124,6 +124,61 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def lang_confusion(docs_ds):
+    """Declared-vs-detected language confusion matrix — the metadata
+    validation step of a curation run: a source whose declared ``lang``
+    tag disagrees with the n-gram detector (:func:`lang_id_batch`) is
+    mislabelled upstream, and mixture recipes keyed on the tag
+    (:func:`my_ocr_ray.corpus.mix_strata`) silently skew.
+
+    Shape: the detector runs map-side, each block emits partial
+    (declared, predicted) counts via Arrow ``value_counts`` on a joined
+    key, and the only exchange is the languages²-sized partial table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)["lang_pred"]
+        pred = pred.combine_chunks() if isinstance(pred, pa.ChunkedArray) else pred
+        decl = batch["lang"]
+        decl = decl.combine_chunks() if isinstance(decl, pa.ChunkedArray) else decl
+        key = pc.binary_join_element_wise(decl, pred, "\x00")
+        vc = key.value_counts()
+        return pa.Table.from_pydict(
+            {"key": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    empty = pa.Table.from_pydict(
+        {
+            "lang": pa.array([], pa.string()),
+            "lang_pred": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch.group_by("key").aggregate([("n", "sum")])
+        key = g.column("key")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+            if isinstance(key, pa.ChunkedArray):
+                key = key.chunk(0)
+        split = pc.split_pattern(key, "\x00")
+        return pa.Table.from_pydict(
+            {
+                "lang": pc.list_element(split, 0),
+                "lang_pred": pc.list_element(split, 1),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """md5 of lowercased whitespace-normalized text (per-row hashing)."""
     norm = pc.utf8_lower(

@@ -1495,6 +1495,14 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion matrix (metadata
+    validation): detector map-side, one languages²-sized exchange."""
+    from ..analysis import lang_confusion
+
+    return lang_confusion(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 def q_oov_rate(sf_dir: str):
     """Per-doc out-of-vocabulary fraction vs the corpus top-200 vocab
     (exact distributed top-k broadcast once, then a pure map)."""

@@ -559,6 +559,37 @@ def test_seq_pack_greedy_boundaries(ray_session):
     }
 
 
+def test_lang_confusion_matrix(ray_session):
+    """Declared-vs-detected cells verified by hand, including a
+    mislabelled doc and an undetectable one."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.analysis import lang_confusion
+
+    rows = [
+        ("en", "the cat and the dog"),          # en -> en
+        ("en", "der hund und die katze ist"),   # en -> de (mislabelled)
+        ("fr", "le chat et la mer est"),        # fr -> fr
+        ("de", "xyz qqq zz"),                   # de -> und (no stopwords)
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = lang_confusion(ray.data.from_arrow(t).repartition(2)).take_all()
+    got = {(r["lang"], r["lang_pred"]): r["n"] for r in out}
+    assert got == {
+        ("en", "en"): 1,
+        ("en", "de"): 1,
+        ("fr", "fr"): 1,
+        ("de", "und"): 1,
+    }
+
+
 def test_oov_rate_against_topk_vocab(ray_session):
     """Vocab = exact global top-k with the (count desc, token asc)
     tie-break; OOV fractions verified by hand; empty docs score 0."""
