@@ -99,22 +99,29 @@ def ngram_topk(docs_ds, n: int = 3, k: int = 20, agg_blocks: int | None = None):
     k x blocks rows (a global ``sort().limit()`` here costs a full extra
     exchange — measured 17.7s of pure scheduling on 64 tiny blocks).
     """
-    from ray.data.aggregate import Sum
+    from .windows import _hash_parts
 
     # partials are distinct-gram-bounded (≪ input); when the input block
-    # count vastly exceeds the partial volume, pass agg_blocks to coalesce
-    # before the key exchange — the groupby's shuffle fan-out follows the
-    # block count, and micro-blocks cost pure task scheduling.
+    # count vastly exceeds the partial volume, pass agg_blocks to size the
+    # combine exchange — micro-partitions cost pure aggregator startup.
     partial = docs_ds.map_batches(
         lambda b, n=n: ngram_count_partial(b, n), batch_format="pyarrow"
     )
-    if agg_blocks is not None:
-        partial = partial.repartition(agg_blocks)
-    agg = partial.groupby("ngram").aggregate(Sum("cnt"))
+    # gram-keyed hash exchange + per-block Arrow combine: each gram's total
+    # lands in exactly one block, so per-block top-k stays exact. Ray's
+    # sort-based groupby().aggregate(Sum) cost 5.4s on a 27k-row partial
+    # table (measured); this shape is ~15x cheaper and is the same
+    # scale path as inverted_index.
+    combined = _hash_parts(partial, ["ngram"], agg_blocks)
 
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        g = batch.group_by("ngram").aggregate([("cnt", "sum")])
         t = pa.Table.from_arrays(
-            [batch["ngram"], pc.cast(batch["sum(cnt)"], pa.int64())],
+            [g["ngram"], pc.cast(g["cnt_sum"], pa.int64())],
             names=["ngram", "cnt"],
         )
         return t.sort_by([("cnt", "descending"), ("ngram", "ascending")]).slice(0, k)
@@ -125,7 +132,7 @@ def ngram_topk(docs_ds, n: int = 3, k: int = 20, agg_blocks: int | None = None):
         ).slice(0, k)
 
     return (
-        agg.map_batches(block_topk, batch_format="pyarrow")
+        combined.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )

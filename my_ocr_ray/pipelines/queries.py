@@ -285,7 +285,8 @@ def q_minhash_sig(sf_dir: str):
     from ..dedup import minhash_signatures
 
     return minhash_signatures(
-        _read(sf_dir, "documents", ["doc_id", "text"]), num_hashes=4, k=3
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=32),
+        num_hashes=4, k=3
     )
 
 
@@ -319,7 +320,8 @@ def q_dedup_clusters(sf_dir: str):
 def q_simhash(sf_dir: str):
     from ..dedup import simhash_table
 
-    return simhash_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_table(_read(sf_dir, "documents", ["doc_id", "text"],
+                              min_blocks=32))
 
 
 def q_jaccard_adjacent(sf_dir: str):
@@ -1544,7 +1546,8 @@ def q_passage_dedup(sf_dir: str):
     per-doc duplicated-passage counts and fraction."""
     from ..dedup import passage_dedup
 
-    return passage_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), chunk=20)
+    return passage_dedup(_read(sf_dir, "documents", ["doc_id", "text"],
+                               min_blocks=16), chunk=20)
 
 
 def q_simhash_dups(sf_dir: str):
@@ -1554,7 +1557,8 @@ def q_simhash_dups(sf_dir: str):
     from ..dedup import simhash_dup_pairs
 
     return simhash_dup_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3, n_bands=4
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=8),
+        max_hamming=3, n_bands=4
     )
 
 
@@ -1563,7 +1567,8 @@ def q_knn_graph(sf_dir: str):
     vector its 3 nearest other vectors, (vec_id, rank, nbr_id, sim)."""
     from ..ann import knn_graph
 
-    return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3)
+    return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                           min_blocks=32), k=3)
 
 
 def q_knn_graph_ivf(sf_dir: str):
@@ -1610,7 +1615,8 @@ def q_source_overlap(sf_dir: str):
     from ..dedup import source_overlap
 
     return source_overlap(
-        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        _read(sf_dir, "documents", ["doc_id", "source", "text"],
+              min_blocks=32),
         prefix_tokens=5,
     )
 
@@ -1736,7 +1742,7 @@ def q_drop_dup_passages(sf_dir: str):
     from ..dedup import drop_dup_passages
 
     return drop_dup_passages(
-        _read(sf_dir, "documents", ["doc_id", "text"]), chunk=20
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=16), chunk=20
     )
 
 
