@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": Q.q_source_divergence,
         "oov_rate": Q.q_oov_rate,
         "lang_confusion": Q.q_lang_confusion,
+        "gopher_rules": Q.q_gopher_rules,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1105,6 +1106,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "gopher_rules": rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(text, '\S+') AS toks,
+                 str_split(text, chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            len(toks) AS n_tok,
+            CAST(len(array_to_string(toks, '')) AS DOUBLE)
+              / greatest(len(toks), 1) AS mean_len,
+            ((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3.0)
+              / greatest(len(toks), 1) AS symbol_ratio,
+            CAST(len(list_filter(lines, x -> starts_with(trim(x), '- ')
+                                          OR starts_with(trim(x), '* ')))
+                 AS DOUBLE) / greatest(len(lines), 1) AS bullet_ratio,
+            CAST(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+                 AS DOUBLE) / greatest(len(lines), 1) AS ellipsis_ratio,
+            len(list_filter(toks, x -> lower(x) IN ({_EN_SW}))) AS n_stop
+          FROM base)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+          round(mean_len, 6) AS mean_len,
+          round(symbol_ratio, 6) AS symbol_ratio,
+          round(bullet_ratio, 6) AS bullet_ratio,
+          round(ellipsis_ratio, 6) AS ellipsis_ratio,
+          CAST(n_stop AS BIGINT) AS n_stop,
+          (n_tok >= 50 AND n_tok <= 100000
+           AND mean_len >= 3 AND mean_len <= 10
+           AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+           AND ellipsis_ratio <= 0.3 AND n_stop >= 2) AS "pass"
+        FROM m
         """,
         "oov_rate": r"""
         WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

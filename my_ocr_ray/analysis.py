@@ -124,6 +124,78 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def gopher_rules_batch(batch: pa.Table, min_tokens: int = 50,
+                       max_tokens: int = 100_000) -> pa.Table:
+    """Gopher-style document rule gate (Rae et al. 2021, table A1 — public
+    heuristics), one vectorized Arrow pass, no Python loops:
+
+    - token count in [min_tokens, max_tokens]
+    - mean token length in [3, 10]
+    - symbol-to-token ratio ('#' chars + '...' runs) <= 0.1
+    - lines starting with a bullet ('- ' / '* ') <= 90%
+    - lines ending with '...' <= 30%
+    - >= 2 English stopword hits
+
+    Emits every signal plus the combined ``pass`` flag so downstream
+    gates can re-weight individual rules without recomputing."""
+    text = batch["text"].combine_chunks() if isinstance(
+        batch["text"], pa.ChunkedArray
+    ) else batch["text"]
+    values, offsets, nonempty = _token_lists(text)
+    n_tok = _per_row_sum(nonempty, offsets)
+    tok_chars = _per_row_sum(
+        pc.utf8_length(values).to_numpy(zero_copy_only=False) * nonempty, offsets
+    )
+    mean_len = tok_chars / np.maximum(n_tok, 1)
+    n_hash = np.asarray(pc.count_substring(text, "#"), dtype=np.int64)
+    n_ell = np.asarray(pc.count_substring(text, "..."), dtype=np.int64)
+    symbol_ratio = (n_hash + n_ell) / np.maximum(n_tok, 1)
+    low = pc.utf8_lower(values)
+    n_stop = _per_row_sum(
+        pc.is_in(low, value_set=pa.array(STOPWORDS["en"])).to_numpy(
+            zero_copy_only=False
+        )
+        & nonempty,
+        offsets,
+    )
+    lines = pc.split_pattern(text, "\n")
+    lvals = pc.utf8_trim(lines.values, " ")
+    loff = lines.offsets.to_numpy(zero_copy_only=False)
+    ones = np.ones(len(lvals), dtype=bool)
+    n_lines = _per_row_sum(ones, loff)
+    bullet = (
+        pc.starts_with(lvals, "- ").to_numpy(zero_copy_only=False)
+        | pc.starts_with(lvals, "* ").to_numpy(zero_copy_only=False)
+    )
+    ell_line = pc.ends_with(lvals, "...").to_numpy(zero_copy_only=False)
+    bullet_ratio = _per_row_sum(bullet, loff) / np.maximum(n_lines, 1)
+    ellipsis_ratio = _per_row_sum(ell_line, loff) / np.maximum(n_lines, 1)
+    ok = (
+        (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        & (mean_len >= 3) & (mean_len <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+        & (n_stop >= 2)
+    )
+    from .functions.num import round_away
+
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "mean_len": pa.array(round_away(mean_len, 6), pa.float64()),
+            "symbol_ratio": pa.array(round_away(symbol_ratio, 6), pa.float64()),
+            "bullet_ratio": pa.array(round_away(bullet_ratio, 6), pa.float64()),
+            "ellipsis_ratio": pa.array(
+                round_away(ellipsis_ratio, 6), pa.float64()
+            ),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "pass": pa.array(ok),
+        }
+    )
+
+
 def lang_confusion(docs_ds):
     """Declared-vs-detected language confusion matrix — the metadata
     validation step of a curation run: a source whose declared ``lang``

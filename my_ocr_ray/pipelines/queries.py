@@ -1497,6 +1497,16 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style rule gate (token count, mean token length, symbol /
+    bullet / ellipsis ratios, stopword hits): one vectorized Arrow map."""
+    from ..analysis import gopher_rules_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pyarrow"
+    )
+
+
 def q_lang_confusion(sf_dir: str):
     """Declared-vs-detected language confusion matrix (metadata
     validation): detector map-side, one languages²-sized exchange."""

@@ -559,6 +559,40 @@ def test_seq_pack_greedy_boundaries(ray_session):
     }
 
 
+def test_gopher_rules_each_rule_fires():
+    """Each rule rejects its targeted pathology and the clean doc passes
+    (pure-kernel test: the batch function runs on a local Arrow table)."""
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import gopher_rules_batch
+
+    good = "the cat sits on the mat " * 10           # 60 toks, stopwords, len ok
+    short = "the cat sits on the mat"                # 6 toks < 50
+    chars = "a b " * 30 + "the of"                   # mean_len ~1 < 3
+    hashy = ("# # word " * 20 + "the of and is to in that for with on "
+             ) .strip()                              # symbol ratio > 0.1
+    bullets = "\n".join(["- item %d the of" % i for i in range(20)])  # >90% bullets
+    ells = "\n".join(["the line %d trails off..." % i for i in range(20)])
+    nostop = "alpha beta gamma delta " * 15          # 0 stopword hits
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(7), pa.int64()),
+            "text": pa.array(
+                [good, short, chars, hashy, bullets, ells, nostop], pa.string()
+            ),
+        }
+    )
+    out = gopher_rules_batch(t, min_tokens=50)
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    assert got[0]["pass"] is True
+    assert got[1]["pass"] is False and got[1]["n_tokens"] == 6
+    assert got[2]["pass"] is False and got[2]["mean_len"] < 3
+    assert got[3]["pass"] is False and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["pass"] is False and got[4]["bullet_ratio"] > 0.9
+    assert got[5]["pass"] is False and got[5]["ellipsis_ratio"] > 0.3
+    assert got[6]["pass"] is False and got[6]["n_stop"] == 0
+
+
 def test_lang_confusion_matrix(ray_session):
     """Declared-vs-detected cells verified by hand, including a
     mislabelled doc and an undetectable one."""
