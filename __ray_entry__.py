@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "cms_ngrams": Q.q_cms_ngrams,  # rows-only: approximate; exact twin is ngram_topk
         "anti_join": Q.q_anti_join,
+        "semi_join": Q.q_semi_join,
         "mix_strata": Q.q_mix_strata,
         "stratified_sample": Q.q_stratified_sample,
         "inverted_index": Q.q_inverted_index,
@@ -973,6 +974,12 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
         SELECT event_id, user_id, event_type FROM events
         WHERE user_id NOT IN (
+          SELECT user_id FROM events
+          WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08')
+        """,
+        "semi_join": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE user_id IN (
           SELECT user_id FROM events
           WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08')
         """,

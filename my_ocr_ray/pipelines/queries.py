@@ -1389,6 +1389,31 @@ def q_anti_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+def q_semi_join(sf_dir: str):
+    """Events of users WITH a first-week signup (broadcast semi-join:
+    same zero-probe-exchange shape as q_anti_join, anti=False)."""
+    from ..relational import broadcast_semi_anti_join
+
+    CUTOFF_US = 1704672000000000  # TIMESTAMP '2024-01-08' in epoch micros
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def early_signup_users(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["event_type"], "signup"),
+            pc.less(pc.cast(batch["ts"], pa.int64()), CUTOFF_US),
+        )
+        return pa.Table.from_pydict({"user_id": batch.filter(keep)["user_id"]})
+
+    build = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        early_signup_users, batch_format="pyarrow"
+    )
+    out = broadcast_semi_anti_join(
+        ev, key="user_id", build_keys_ds=build, build_key="user_id", anti=False
+    )
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
 def q_mix_strata(sf_dir: str):
     """Temperature-flattened language re-mixing (share ∝ count^0.5,
     target half the corpus): deterministic md5 draw vs per-stratum keep
