@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_adjacent": Q.q_jaccard_adjacent,
         "containment": Q.q_containment,
         "split_leakage": Q.q_split_leakage,
+        "winnow_pairs": Q.q_winnow_pairs,
         "embedding_dups": Q.q_embedding_dups,
         # embeddings / ANN
         "embedding_centroids": Q.q_embedding_centroids,
@@ -582,6 +583,24 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "winnow_pairs": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')),
+                                     1, 15)) AS BIGINT) AS h
+              FROM t, UNNEST(generate_series(1, greatest(len(toks)-4, 0)))
+                      AS u(i)),
+        n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        win AS (SELECT g.doc_id, g.pos, n.n,
+                min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM g JOIN n USING (doc_id)),
+        fps AS (SELECT DISTINCT doc_id, fp FROM win
+                WHERE pos <= greatest(n - 3, 1))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
         """,
         "split_leakage": _SIGS_CTE
         + f""",

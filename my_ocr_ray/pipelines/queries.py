@@ -330,6 +330,16 @@ def q_jaccard_adjacent(sf_dir: str):
     return jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q_winnow_pairs(sf_dir: str):
+    """Winnowing-fingerprint candidate pairs (MOSS local fingerprints,
+    5-token shingles, window 4): catches shared runs >= w+k-1 tokens."""
+    from ..dedup import winnow_pairs
+
+    return winnow_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=8), k=5, w=4
+    )
+
+
 def q_split_leakage(sf_dir: str):
     """Near-dup pairs (LSH candidates verified at jaccard >= 0.5) that
     cross the deterministic train/val/test boundary — the contamination

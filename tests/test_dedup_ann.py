@@ -97,6 +97,40 @@ def test_split_leakage_flags_cross_split_dups_only(ray_session):
     assert (min(safe_a, safe_b), max(safe_a, safe_b)) not in pairs
 
 
+def test_winnow_pairs_locality_guarantee(ray_session, doc_table):
+    """Winnowing's guarantee: documents sharing a token run of at least
+    w+k-1 tokens share a fingerprint; the exact dup and near dup collide,
+    unrelated docs don't."""
+    import ray.data
+
+    from my_ocr_ray.dedup import winnow_fingerprints, winnow_pairs
+
+    pairs = winnow_pairs(
+        ray.data.from_arrow(doc_table), k=5, w=4, num_partitions=2
+    ).take_all()
+    pairset = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 100) in pairset           # exact dup
+    assert (1, 101) in pairset           # near dup: shared 8-token prefix run
+    assert (2, 3) not in pairset         # unrelated
+    # fingerprints are deterministic and per-doc distinct
+    fps = winnow_fingerprints(
+        ray.data.from_arrow(doc_table), k=5, w=4
+    ).take_all()
+    by = {}
+    for r in fps:
+        by.setdefault(r["doc_id"], []).append(r["fp"])
+    assert all(len(v) == len(set(v)) for v in by.values())
+    assert set(by[0]) == set(by[100])    # identical text -> identical fps
+    # short doc (< w shingles) still fingerprints: one min-of-all fp
+    import pyarrow as pa
+    short = pa.Table.from_pydict(
+        {"doc_id": pa.array([7], pa.int64()),
+         "text": pa.array(["only five tokens right here"], pa.string())}
+    )
+    sfp = winnow_fingerprints(ray.data.from_arrow(short), k=5, w=4).take_all()
+    assert len(sfp) == 1
+
+
 def test_jaccard_separates_dup_from_unrelated():
     from my_ocr_ray.functions.textproc import jaccard_ngrams
 
