@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": Q.q_oov_rate,
         "lang_confusion": Q.q_lang_confusion,
         "gopher_rules": Q.q_gopher_rules,
+        "readability": Q.q_readability,
         "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
@@ -1132,6 +1133,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "readability": r"""
+        WITH m AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '\S+')) AS n_words,
+            len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+            len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+          FROM documents)
+        SELECT doc_id,
+          CAST(n_words AS BIGINT) AS n_words,
+          CAST(n_sentences AS BIGINT) AS n_sentences,
+          CAST(n_syllables AS BIGINT) AS n_syllables,
+          round(206.835
+                - 1.015 * (greatest(n_words, 1) / greatest(n_sentences, 1))
+                - 84.6 * (n_syllables / greatest(n_words, 1)), 6) AS flesch
+        FROM m
         """,
         "gopher_rules": rf"""
         WITH base AS (

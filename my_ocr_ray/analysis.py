@@ -124,6 +124,41 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Flesch reading-ease per document (public formula: 206.835 -
+    1.015·words/sentences - 84.6·syllables/words), with the standard
+    cheap approximations — sentences = '.!?' marks, syllables = vowel
+    groups — one vectorized Arrow pass. Used as a fluency prior in
+    curation stacks alongside :func:`quality_batch`/:func:`gopher_rules_batch`
+    (garbled or keyword-stuffed text scores far negative)."""
+    from .functions.num import round_away
+
+    text = batch["text"].combine_chunks() if isinstance(
+        batch["text"], pa.ChunkedArray
+    ) else batch["text"]
+    n_words = np.asarray(
+        pc.count_substring_regex(text, r"\S+"), dtype=np.int64
+    )
+    n_sent = np.asarray(
+        pc.count_substring_regex(text, r"[.!?]"), dtype=np.int64
+    )
+    n_syll = np.asarray(
+        pc.count_substring_regex(text, r"[aeiouyAEIOUY]+"), dtype=np.int64
+    )
+    w = np.maximum(n_words, 1)
+    s = np.maximum(n_sent, 1)
+    flesch = 206.835 - 1.015 * (w / s) - 84.6 * (n_syll / w)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "n_syllables": pa.array(n_syll, pa.int64()),
+            "flesch": pa.array(round_away(flesch, 6), pa.float64()),
+        }
+    )
+
+
 def gopher_rules_batch(batch: pa.Table, min_tokens: int = 50,
                        max_tokens: int = 100_000) -> pa.Table:
     """Gopher-style document rule gate (Rae et al. 2021, table A1 — public

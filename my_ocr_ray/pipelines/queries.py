@@ -1532,6 +1532,16 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(_read(sf_dir, "documents", ["doc_id", "text"]), k=0.5)
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per doc (vowel-group syllables, '.!?'
+    sentences): one vectorized Arrow map."""
+    from ..analysis import readability_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        readability_batch, batch_format="pyarrow"
+    )
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style rule gate (token count, mean token length, symbol /
     bullet / ellipsis ratios, stopword hits): one vectorized Arrow map."""

@@ -559,6 +559,30 @@ def test_seq_pack_greedy_boundaries(ray_session):
     }
 
 
+def test_readability_flesch_hand_values():
+    """Formula verified by hand on a simple sentence; garbled text scores
+    lower than plain prose (pure-kernel test)."""
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import readability_batch
+
+    plain = "The cat sat on the mat. The dog ran to the park."
+    dense = "Antidisestablishmentarianism necessitates extraordinary comprehension capabilities."
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([plain, dense], pa.string()),
+        }
+    )
+    out = {r["doc_id"]: r for r in readability_batch(t).to_pylist()}
+    # plain: 12 words, 2 sentences, syllables = vowel groups
+    assert out[0]["n_words"] == 12 and out[0]["n_sentences"] == 2
+    exp = round(206.835 - 1.015 * (12 / 2)
+                - 84.6 * (out[0]["n_syllables"] / 12), 6)
+    assert abs(out[0]["flesch"] - exp) < 1e-9
+    assert out[0]["flesch"] > out[1]["flesch"]
+
+
 def test_gopher_rules_each_rule_fires():
     """Each rule rejects its targeted pathology and the clean doc passes
     (pure-kernel test: the batch function runs on a local Arrow table)."""
