@@ -131,6 +131,35 @@ def test_winnow_pairs_locality_guarantee(ray_session, doc_table):
     assert len(sfp) == 1
 
 
+def test_winnow_hot_fingerprint_guard(ray_session):
+    """A boilerplate run shared by more docs than max_bucket_rows trips
+    the quadratic-bucket guard instead of silently exploding a worker."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from my_ocr_ray.dedup import winnow_pairs
+
+    shared = "identical boilerplate run of nine tokens exactly here now"
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                [f"unique lead {i} " + shared for i in range(40)], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    with pytest.raises((ValueError, Exception)) as ei:
+        winnow_pairs(ds, k=5, w=4, num_partitions=2,
+                     max_bucket_rows=10).take_all()
+    assert "max_bucket_rows" in str(ei.value)
+    # same data passes with an adequate bound and yields all-pairs of 40
+    out = winnow_pairs(ds, k=5, w=4, num_partitions=2,
+                       max_bucket_rows=1000).take_all()
+    assert len(out) == 40 * 39 // 2
+
+
 def test_jaccard_separates_dup_from_unrelated():
     from my_ocr_ray.functions.textproc import jaccard_ngrams
 
