@@ -1399,6 +1399,16 @@ def q_anti_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type"])
 
 
+def q_interval_merge(sf_dir: str):
+    """Interval coalescing (gaps-and-islands) over [ts, ts+k sec) event
+    intervals: one user-keyed exchange, whole-block vectorized islands."""
+    from ..windows import interval_merge
+
+    return interval_merge(
+        _read(sf_dir, "events", ["user_id", "ts", "props"])
+    )
+
+
 def q_semi_join(sf_dir: str):
     """Events of users WITH a first-week signup (broadcast semi-join:
     same zero-probe-exchange shape as q_anti_join, anti=False)."""

@@ -292,3 +292,87 @@ def sliding_window(events_ds, window_sec: int = 3600, slide_sec: int = 1800):
         events_ds.map_batches(assign, batch_format="pyarrow"),
         ("window_start", "event_type"),
     )
+
+
+def interval_merge(events_ds, num_partitions: int | None = None):
+    """Interval coalescing (gaps-and-islands): each event occupies
+    ``[ts, ts + k seconds)`` with the integer ``k`` parsed from props
+    (float-free, so the SQL twin is bit-exact); overlapping or touching
+    intervals of one user merge into islands. Output per island:
+    (user_id, island, start_us, end_us, n_events).
+
+    The relational counterpart of geometry's ``merge_disks`` —
+    availability/coverage reporting over event streams. One user-keyed
+    hash exchange; the island kernel is whole-block vectorized: the
+    per-user running max of interval ends uses the segment-offset rebase
+    trick (rebased ends + seg_id·range, one ``np.maximum.accumulate``,
+    no reset loop), island ids come from a cumsum over boundary flags,
+    and per-island aggregates from ``reduceat``."""
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + kv * 1_000_000, pa.int64()),
+            }
+        )
+
+    empty = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "island": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def islands(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return empty
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        s = block["s"].to_numpy(zero_copy_only=False)
+        e = block["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        # per-user inclusive running max of ends, vectorized: rebase to the
+        # block minimum, add seg_id * (range+1) so segments can't leak into
+        # each other under one global maximum.accumulate, then strip
+        base = min(int(s.min()), int(e.min()))
+        er = e - base
+        seg = np.cumsum(new_user) - 1
+        r = int(er.max()) + 1
+        cm = np.maximum.accumulate(er + seg * r) - seg * r
+        prev_end = np.concatenate(([0], cm[:-1]))
+        new_island = new_user | ((s - base) > prev_end)
+        bounds = np.flatnonzero(new_island)
+        end_rebased = np.maximum.reduceat(er, bounds)
+        counts = np.diff(np.concatenate((bounds, [n])))
+        gid = np.cumsum(new_island)  # 1-based global island id
+        # per-user island number: global id minus the user's first global
+        # id, +1 (bounds rows where new_user mark the user's first island)
+        first_of_user = np.cumsum(new_user[bounds]) - 1
+        user_first_gid = gid[bounds][np.flatnonzero(new_user[bounds])]
+        island_no = gid[bounds] - user_first_gid[first_of_user] + 1
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[bounds], pa.int64()),
+                "island": pa.array(island_no, pa.int64()),
+                "start_us": pa.array(s[bounds], pa.int64()),
+                "end_us": pa.array(end_rebased + base, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    iv = events_ds.map_batches(to_intervals, batch_format="pyarrow")
+    return _hash_parts(iv, ["user_id"], num_partitions).map_batches(
+        islands, batch_format="pyarrow", batch_size=None
+    )

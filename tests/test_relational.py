@@ -203,3 +203,45 @@ def test_broadcast_semi_anti_join(ray_session):
     ).take_all()
     assert {r["k"] for r in semi} == {2, 4}
     assert {r["k"] for r in anti} == {1, 3, 5}
+
+
+def test_interval_merge_islands(ray_session):
+    """Overlap and touch merge; gaps split; islands number per user;
+    start/end/count verified by hand."""
+    import ray.data
+
+    from my_ocr_ray.windows import interval_merge
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, t_sec, user, k):
+        return (eid, t_sec, user, k)
+
+    rows = [
+        # user 1: [0,10) + [5,15) overlap -> island 1; [15,20) touches ->
+        # still island 1; [30,35) -> island 2
+        ev(1, 0, 1, 10), ev(2, 5, 1, 10), ev(3, 15, 1, 5), ev(4, 30, 1, 5),
+        # user 2: single interval
+        ev(5, 100, 2, 1),
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "props": pa.array(['{"k": %d}' % r[3] for r in rows], pa.string()),
+        }
+    )
+    out = interval_merge(
+        ray.data.from_arrow(t).repartition(2), num_partitions=2
+    ).take_all()
+    got = {(r["user_id"], r["island"]): (r["start_us"], r["end_us"], r["n_events"])
+           for r in out}
+    b = int(base.timestamp()) * 1_000_000
+    assert got == {
+        (1, 1): (b + 0, b + 20_000_000, 3),
+        (1, 2): (b + 30_000_000, b + 35_000_000, 1),
+        (2, 1): (b + 100_000_000, b + 101_000_000, 1),
+    }
