@@ -292,3 +292,58 @@ def test_chunk_table_matches_slice_reference(texts, window, stride):
             sl = toks[i * stride : i * stride + window]
             expect.append((d, i, len(sl), " ".join(sl)))
     assert sorted(got) == sorted(expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abcdef ", max_size=60), st.text(alphabet="abcdef ", max_size=60))
+def test_containment_bounds_identity_and_jaccard_relation(a, b):
+    from my_ocr_ray.functions.textproc import containment_ngrams, shingles
+
+    c_ab = containment_ngrams(a, b)
+    assert 0.0 <= c_ab <= 1.0
+    # self-containment is 1 whenever there is anything to contain
+    if shingles(a, 3):
+        assert containment_ngrams(a, a) == 1.0
+        # containment dominates jaccard: |∩|/|A| >= |∩|/|A∪B|
+        assert c_ab >= jaccard_ngrams(a, b) - 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=14),
+    st.text(alphabet="xyz ", max_size=30),
+    st.text(alphabet="qrs ", max_size=30),
+)
+def test_winnowing_shared_run_guarantee(run, lead, tail):
+    """Any two docs sharing a token run of >= w+k-1 tokens share at least
+    one winnowed fingerprint (k=5, w=4 -> run of 8 suffices)."""
+    import pyarrow as pa
+
+    shared = " ".join(run)  # 8-14 single-char tokens
+    doc_a = (lead.strip() + " " + shared).strip()
+    doc_b = (shared + " " + tail.strip()).strip()
+    t = pa.Table.from_pydict(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([doc_a, doc_b], pa.string())}
+    )
+    # spinning up Ray per hypothesis example is too slow; run the batch
+    # kernel in-process instead
+    out = _winnow_local(t)
+    fa = {r["fp"] for r in out.to_pylist() if r["doc_id"] == 0}
+    fb = {r["fp"] for r in out.to_pylist() if r["doc_id"] == 1}
+    assert fa & fb
+
+
+def _winnow_local(t):
+    """Run winnow_fingerprints' kernel on one in-process Arrow table."""
+    from my_ocr_ray import dedup as _d
+
+    captured = {}
+
+    class _FakeDS:
+        def map_batches(self, fn, **kw):
+            captured["out"] = fn(t)
+            return None
+
+    _d.winnow_fingerprints(_FakeDS(), k=5, w=4)
+    return captured["out"]
