@@ -134,20 +134,26 @@ def main() -> None:
             # workload is 10^12 docs; a short job measures startup, not
             # steady-state scaling
             n_docs *= 8
-        results = {}
-        for cpus in (8, 32):
-            best = None
-            for _attempt in range(2):  # best-of-2: first run warms page cache
-                cmd = [sys.executable, __file__, "--flagship-only",
-                       "--cpus", str(cpus), "--n-docs", str(n_docs)]
-                env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
-                out = subprocess.run(cmd, capture_output=True, text=True, env=env)
-                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
-                if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                    best = r
-            results[cpus] = best
-        t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        # INTERLEAVED pairs, not best-of-N per leg: on a shared host the
+        # machine state drifts between runs, and independently taking each
+        # leg's max can pair an anomalously fast 8-CPU sample with a normal
+        # 32-CPU one (measured: 0.663 "efficiency" from exactly that, vs
+        # 0.87-0.94 in any same-window sequential sweep). Each (8, 32) pair
+        # runs back-to-back so both legs see the same machine state; the
+        # pair from the cleaner window (higher combined throughput) is the
+        # headline, and both pairs are reported.
+        def one_run(cpus: int) -> float:
+            cmd = [sys.executable, __file__, "--flagship-only",
+                   "--cpus", str(cpus), "--n-docs", str(n_docs)]
+            env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)["docs_per_sec"]
+
+        pairs = []
+        for _attempt in range(2):  # first pair also warms the page cache
+            pairs.append((one_run(8), one_run(32)))
+        t8, t32 = max(pairs, key=lambda p: p[0] + p[1])
         eff = (t32 / t8) / 4.0
         payload = {
             "metric": "scaling_efficiency_8_to_32",
@@ -156,6 +162,10 @@ def main() -> None:
             "docs_per_sec_8": round(t8, 2),
             "docs_per_sec_32": round(t32, 2),
             "speedup": round(t32 / t8, 3),
+            "all_pairs": [
+                [round(a, 2), round(b, 2), round((b / a) / 4.0, 3)]
+                for a, b in pairs
+            ],
             "n_docs": n_docs,
             "sf": sf,
         }
@@ -213,8 +223,13 @@ def _record_baseline(payload: dict) -> None:
         f"- speedup 8→32: {payload['speedup']}  (ideal 4.0)",
         f"- scaling efficiency: {payload['value']}  (target ≥ 0.8)",
         f"- corpus: {payload['n_docs']} synthetic interleaved docs (sf {payload['sf']})",
-        "",
     ]
+    if payload.get("all_pairs"):
+        lines.append(
+            "- interleaved pairs (d/s@8, d/s@32, eff): "
+            + "; ".join(f"({a}, {b}, {e})" for a, b, e in payload["all_pairs"])
+        )
+    lines.append("")
     with open(path, "a") as f:
         f.write("\n".join(lines))
 
