@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": Q.q_containment,
         "split_leakage": Q.q_split_leakage,
         "winnow_pairs": Q.q_winnow_pairs,
+        "pagerank": Q.q_pagerank,
         "embedding_dups": Q.q_embedding_dups,
         # embeddings / ANN
         "embedding_centroids": Q.q_embedding_centroids,
@@ -585,6 +586,42 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "pagerank": _SIGS_CTE
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        tp AS (SELECT (1 - CAST(0.85 AS DOUBLE)) / n AS t, n FROM nn),
+        r0 AS (SELECT src AS node, 1.0 / tp.n AS r FROM deg CROSS JOIN tp),
+        r1 AS (SELECT e.dst AS node,
+                      any_value(tp.t) + 0.85 * sum(r0.r / deg.deg) AS r
+               FROM edges e JOIN r0 ON r0.node = e.src
+               JOIN deg ON deg.src = e.src CROSS JOIN tp
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node,
+                      any_value(tp.t) + 0.85 * sum(r1.r / deg.deg) AS r
+               FROM edges e JOIN r1 ON r1.node = e.src
+               JOIN deg ON deg.src = e.src CROSS JOIN tp
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node,
+                      any_value(tp.t) + 0.85 * sum(r2.r / deg.deg) AS r
+               FROM edges e JOIN r2 ON r2.node = e.src
+               JOIN deg ON deg.src = e.src CROSS JOIN tp
+               GROUP BY e.dst)
+        SELECT node AS doc_id, round(r, 6) AS rank FROM r3
         """,
         "winnow_pairs": r"""
         WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

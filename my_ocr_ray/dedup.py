@@ -1413,3 +1413,172 @@ def diff_snapshots(old_docs_ds, new_docs_ds, num_partitions: int = 8):
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def _pagerank_single_block(batch: pa.Table, iters: int, damping: float) -> pa.Table:
+    """(src, dst) edge block (both directions present) -> (doc_id, rank)
+    after ``iters`` power iterations, fully in-memory: dictionary codes +
+    ``np.bincount`` per iteration."""
+    from .functions.num import round_away
+
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(src)  # both directions present -> src covers all
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    teleport = 1.0 - damping
+    for _ in range(iters):
+        contrib = np.bincount(di, weights=r[si] / deg[si], minlength=n)
+        r = teleport / n + damping * contrib
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "rank": pa.array(round_away(r, 6), pa.float64()),
+        }
+    )
+
+
+def pagerank(pairs_ds, num_partitions: int = 8, iters: int = 3,
+             damping: float = 0.85, small_graph_rows: int = 2_000_000):
+    """PageRank over the undirected candidate-pair graph — centrality
+    ranking of near-dup neighbourhoods. The highest-rank member of a
+    cluster is its most-connected document: an alternative canonical-
+    representative policy to :func:`connected_components`' min-id (keep
+    the hub, not the lowest id), and a boilerplate detector (template
+    pages form dense, high-rank neighbourhoods).
+
+    ``r_{t+1}(v) = (1-d)/n + d * Σ_{u->v} r_t(u)/deg(u)`` for a FIXED
+    ``iters`` (the SQL oracle is the same recurrence unrolled). Shape at
+    scale mirrors :func:`connected_components`: the graph is the
+    dedup-candidate subset (≪ corpus); per iteration the rank table joins
+    the degree-weighted edge list (src-keyed hash join) and contributions
+    sum through one dst-keyed exchange, with the rank table materialized
+    between rounds so lineage stays one round deep. Small graphs take a
+    single-block vectorized fast path (equality with the distributed path
+    is pinned in tests)."""
+    import ray.data
+
+    from .windows import _hash_parts
+
+    teleport = 1.0 - damping
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "src": pa.concat_arrays(
+                    [batch["doc_a"].combine_chunks(), batch["doc_b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [batch["doc_b"].combine_chunks(), batch["doc_a"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = _nonempty(
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+    if edges is None:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.float64())}
+            )
+        )
+
+    if edges.count() <= small_graph_rows:
+        return edges.repartition(1).map_batches(
+            lambda b: _pagerank_single_block(b, iters, damping),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    # weighted edge list (src, dst, w = 1/deg(src)), built once
+    def block_deg(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("src").aggregate([("dst", "count")])
+        return pa.Table.from_arrays(
+            [g["src"], pc.cast(g["dst_count"], pa.int64())], names=["src", "deg"]
+        )
+
+    deg = (
+        _hash_parts(edges, ["src"], num_partitions)
+        .map_batches(block_deg, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    deg = _nonempty(deg)
+    n = deg.count()
+
+    wedges = edges.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "w": pa.array(
+                    1.0
+                    / b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    wedges = _nonempty(wedges)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "src": batch["src"],
+                "r": pa.array(np.full(batch.num_rows, 1.0 / n), pa.float64()),
+            }
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dst").aggregate([("c", "sum")])
+        s = g["c_sum"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "src": g["dst"],  # next round's rank key
+                "r": pa.array(teleport / n + damping * s, pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        contrib = wedges.join(
+            ranks, join_type="inner", num_partitions=num_partitions, on=("src",)
+        ).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "dst": b["dst"],
+                    "c": pa.array(
+                        b["r"].to_numpy(zero_copy_only=False)
+                        * b["w"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = _nonempty(
+            _hash_parts(contrib, ["dst"], num_partitions)
+            .map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+
+    from .functions.num import round_away
+
+    return ranks.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "doc_id": b["src"],
+                "rank": pa.array(
+                    round_away(b["r"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -330,6 +330,18 @@ def q_jaccard_adjacent(sf_dir: str):
     return jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank centrality over the MinHash-LSH near-dup graph (3 power
+    iterations, d=0.85): hub-document ranking for canonical selection."""
+    from ..dedup import lsh_candidate_pairs, pagerank
+
+    pairs = lsh_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_hashes=4, band_size=2, k=3,
+    )
+    return pagerank(pairs, iters=3, damping=0.85)
+
+
 def q_winnow_pairs(sf_dir: str):
     """Winnowing-fingerprint candidate pairs (MOSS local fingerprints,
     5-token shingles, window 4): catches shared runs >= w+k-1 tokens."""

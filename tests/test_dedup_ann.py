@@ -722,3 +722,42 @@ def test_diff_snapshots_classifies_three_statuses(ray_session):
     ).take_all()
     got = {r["doc_id"]: r["status"] for r in out}
     assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_pagerank_hand_values_and_path_equality(ray_session):
+    """3-node path graph verified by hand after 1 iteration; the
+    distributed per-round join path equals the single-block fast path on
+    a larger graph."""
+    import ray.data
+
+    from my_ocr_ray.dedup import pagerank
+
+    def pairs_ds(pairs):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    # path a(1)-b(2)-c(3): teleport 0.15/3 = 0.05
+    out = pagerank(pairs_ds([(1, 2), (2, 3)]), iters=1).take_all()
+    got = {r["doc_id"]: r["rank"] for r in out}
+    assert abs(got[1] - round(0.05 + 0.85 * (1 / 3) / 2, 6)) < 1e-9
+    assert abs(got[2] - round(0.05 + 0.85 * (2 / 3), 6)) < 1e-9
+    assert got[3] == got[1]            # symmetric leaves
+    assert got[2] > got[1]             # the hub outranks the leaves
+    # ranks remain a distribution (sum ~ 1) after more iterations
+    out3 = pagerank(pairs_ds([(1, 2), (2, 3)]), iters=5).take_all()
+    assert abs(sum(r["rank"] for r in out3) - 1.0) < 1e-4
+    # distributed path == fast path on a 12-node two-cluster graph
+    edges = [(i, i + 1) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+    fast = {r["doc_id"]: r["rank"]
+            for r in pagerank(pairs_ds(edges), iters=3).take_all()}
+    dist = {r["doc_id"]: r["rank"]
+            for r in pagerank(pairs_ds(edges), iters=3, num_partitions=2,
+                              small_graph_rows=0).take_all()}
+    assert set(fast) == set(dist)
+    assert all(abs(fast[k] - dist[k]) < 1e-9 for k in fast)
