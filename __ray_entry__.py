@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": Q.q_anti_join,
         "semi_join": Q.q_semi_join,
         "interval_merge": Q.q_interval_merge,
+        "interval_merge_salted": Q.q_interval_merge_salted,
         "mix_strata": Q.q_mix_strata,
         "stratified_sample": Q.q_stratified_sample,
         "inverted_index": Q.q_inverted_index,
@@ -1173,6 +1174,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "interval_merge": r"""
+        WITH iv AS (
+          SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                 CAST(epoch_us(ts) AS BIGINT)
+                   + CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+                     * 1000000 AS e
+          FROM events),
+        o AS (SELECT user_id, s, e,
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+              FROM iv),
+        g AS (SELECT user_id, s, e,
+                sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+              FROM o)
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               min(s) AS start_us, max(e) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, island
+        """,
+        "interval_merge_salted": r"""
         WITH iv AS (
           SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
                  CAST(epoch_us(ts) AS BIGINT)

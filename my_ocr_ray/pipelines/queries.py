@@ -1421,6 +1421,18 @@ def q_interval_merge(sf_dir: str):
     )
 
 
+def q_interval_merge_salted(sf_dir: str):
+    """Hot-user-safe two-phase interval coalesce — exactly equal to
+    interval_merge (same oracle), with the event exchange salted by a
+    coarse time bucket and partial islands re-merged per user."""
+    from ..windows import interval_merge_salted
+
+    return interval_merge_salted(
+        _read(sf_dir, "events", ["user_id", "ts", "props"]),
+        time_bucket_sec=21_600,
+    )
+
+
 def q_semi_join(sf_dir: str):
     """Events of users WITH a first-week signup (broadcast semi-join:
     same zero-probe-exchange shape as q_anti_join, anti=False)."""

@@ -334,45 +334,129 @@ def interval_merge(events_ds, num_partitions: int | None = None):
     )
 
     def islands(block: pa.Table) -> pa.Table:
-        n = block.num_rows
-        if n == 0:
+        if block.num_rows == 0:
             return empty
         u = block["user_id"].to_numpy(zero_copy_only=False)
         s = block["s"].to_numpy(zero_copy_only=False)
         e = block["e"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((e, s, u))
-        u, s, e = u[order], s[order], e[order]
-        new_user = np.concatenate(([True], u[1:] != u[:-1]))
-        # per-user inclusive running max of ends, vectorized: rebase to the
-        # block minimum, add seg_id * (range+1) so segments can't leak into
-        # each other under one global maximum.accumulate, then strip
-        base = min(int(s.min()), int(e.min()))
-        er = e - base
-        seg = np.cumsum(new_user) - 1
-        r = int(er.max()) + 1
-        cm = np.maximum.accumulate(er + seg * r) - seg * r
-        prev_end = np.concatenate(([0], cm[:-1]))
-        new_island = new_user | ((s - base) > prev_end)
-        bounds = np.flatnonzero(new_island)
-        end_rebased = np.maximum.reduceat(er, bounds)
-        counts = np.diff(np.concatenate((bounds, [n])))
-        gid = np.cumsum(new_island)  # 1-based global island id
-        # per-user island number: global id minus the user's first global
-        # id, +1 (bounds rows where new_user mark the user's first island)
-        first_of_user = np.cumsum(new_user[bounds]) - 1
-        user_first_gid = gid[bounds][np.flatnonzero(new_user[bounds])]
-        island_no = gid[bounds] - user_first_gid[first_of_user] + 1
-        return pa.Table.from_pydict(
-            {
-                "user_id": pa.array(u[bounds], pa.int64()),
-                "island": pa.array(island_no, pa.int64()),
-                "start_us": pa.array(s[bounds], pa.int64()),
-                "end_us": pa.array(end_rebased + base, pa.int64()),
-                "n_events": pa.array(counts, pa.int64()),
-            }
-        )
+        return _island_block(u, None, s, e, np.ones(len(u), dtype=np.int64))
 
     iv = events_ds.map_batches(to_intervals, batch_format="pyarrow")
     return _hash_parts(iv, ["user_id"], num_partitions).map_batches(
         islands, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _island_block(u, salt, s, e, w) -> pa.Table:
+    """Vectorized gaps-and-islands over (user[, salt]) segments: lexsort,
+    per-segment running max of ends via the segment-offset rebase trick
+    (one ``np.maximum.accumulate``, no reset loop), island boundaries,
+    ``reduceat`` aggregates. ``w`` is the event weight per interval row
+    (1 for raw events; partial-island counts in the salted merge phase).
+    Island numbers restart per USER — with a salt the caller treats them
+    as throwaway (phase 1 of the salted variant)."""
+    keys = (e, s, u) if salt is None else (e, s, salt, u)
+    order = np.lexsort(keys)
+    u, s, e, w = u[order], s[order], e[order], w[order]
+    new_user = np.concatenate(([True], u[1:] != u[:-1]))
+    if salt is None:
+        new_seg = new_user
+    else:
+        sa = salt[order]
+        new_seg = new_user | np.concatenate(([True], sa[1:] != sa[:-1]))
+    base = min(int(s.min()), int(e.min()))
+    er = e - base
+    seg = np.cumsum(new_seg) - 1
+    r = int(er.max()) + 1
+    cm = np.maximum.accumulate(er + seg * r) - seg * r
+    prev_end = np.concatenate(([0], cm[:-1]))
+    new_island = new_seg | ((s - base) > prev_end)
+    bounds = np.flatnonzero(new_island)
+    end_rebased = np.maximum.reduceat(er, bounds)
+    n_events = np.add.reduceat(w, bounds)
+    gid = np.cumsum(new_island)  # 1-based global island id
+    # per-user island number: global id minus the user's first global id
+    first_of_user = np.cumsum(new_user[bounds]) - 1
+    user_first_gid = gid[bounds][np.flatnonzero(new_user[bounds])]
+    island_no = gid[bounds] - user_first_gid[first_of_user] + 1
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(u[bounds], pa.int64()),
+            "island": pa.array(island_no, pa.int64()),
+            "start_us": pa.array(s[bounds], pa.int64()),
+            "end_us": pa.array(end_rebased + base, pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+        }
+    )
+
+
+def interval_merge_salted(events_ds, time_bucket_sec: int = 86_400,
+                          num_partitions: int | None = None):
+    """Hot-user-safe :func:`interval_merge`, result EXACTLY equal (same
+    guarantee pattern as :func:`sessionize_salted`): phase 1 salts the
+    exchange key with a coarse start-time bucket so a pathological user's
+    intervals shard across partitions, building PARTIAL islands locally;
+    phase 2 regroups by user over the partial-island rows (orders of
+    magnitude fewer than event rows) and merges them with the SAME island
+    kernel — merged intervals are themselves intervals and interval union
+    is associative, so equality holds for any bucket size."""
+
+    def to_salted(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch["user_id"],
+                "bucket": pa.array(
+                    s // (time_bucket_sec * 1_000_000), pa.int64()
+                ),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + kv * 1_000_000, pa.int64()),
+            }
+        )
+
+    empty = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "island": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def phase1(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        return _island_block(
+            u,
+            block["bucket"].to_numpy(zero_copy_only=False),
+            block["s"].to_numpy(zero_copy_only=False),
+            block["e"].to_numpy(zero_copy_only=False),
+            np.ones(len(u), dtype=np.int64),
+        )
+
+    def phase2(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        return _island_block(
+            u,
+            None,
+            block["start_us"].to_numpy(zero_copy_only=False),
+            block["end_us"].to_numpy(zero_copy_only=False),
+            block["n_events"].to_numpy(zero_copy_only=False),
+        )
+
+    partials = _hash_parts(
+        events_ds.map_batches(to_salted, batch_format="pyarrow"),
+        ["user_id", "bucket"],
+        num_partitions,
+    ).map_batches(phase1, batch_format="pyarrow", batch_size=None)
+    return _hash_parts(partials, ["user_id"], num_partitions).map_batches(
+        phase2, batch_format="pyarrow", batch_size=None
     )

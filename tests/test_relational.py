@@ -245,3 +245,45 @@ def test_interval_merge_islands(ray_session):
         (1, 2): (b + 30_000_000, b + 35_000_000, 1),
         (2, 1): (b + 100_000_000, b + 101_000_000, 1),
     }
+
+
+def test_interval_merge_salted_equals_plain(ray_session):
+    """The two-phase salted variant is exactly equal to interval_merge,
+    including islands that SPAN a bucket edge (hot user sharded across
+    buckets, intervals crossing the boundary)."""
+    import ray.data
+
+    from my_ocr_ray.windows import interval_merge, interval_merge_salted
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user 7: chains of touching 60s intervals crossing every 300s
+    # bucket edge, plus isolated islands; user 8: sparse singletons
+    for i in range(40):
+        rows.append((7, i * 60, 60))          # one long island (touching)
+    rows.append((7, 40 * 60 + 500, 10))       # separate island
+    for i in range(5):
+        rows.append((8, i * 1000, 30))        # five singleton islands
+    t = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "props": pa.array(['{"k": %d}' % r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    plain = sorted(
+        interval_merge(ds, num_partitions=2).take_all(),
+        key=lambda r: (r["user_id"], r["island"]),
+    )
+    salted = sorted(
+        interval_merge_salted(ds, time_bucket_sec=300, num_partitions=2).take_all(),
+        key=lambda r: (r["user_id"], r["island"]),
+    )
+    assert plain == salted
+    by = {(r["user_id"], r["island"]): r["n_events"] for r in plain}
+    assert by[(7, 1)] == 40 and by[(7, 2)] == 1
+    assert sum(1 for k in by if k[0] == 8) == 5
