@@ -1109,12 +1109,15 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
     cluster size / partition layout — the resumable alternative to
     ``random_shuffle`` for epoch ordering at 100 TB.
 
-    No global sort: the key's first byte IS its range bucket (md5 output
-    is uniform, so 256 near-equal ranges). A skinny (bucket, count) pass
-    prefix-sums into a 256-entry offset table carried in the task closure,
-    then ONE bucket-keyed hash exchange ranks each bucket locally —
-    ascending key order within a block is already bucket-grouped because
-    the bucket is a prefix of the key. Only (doc_id, key) rows move."""
+    No global sort: the key's first TWO bytes are its range bucket (md5
+    output is uniform, so 65,536 near-equal ranges — wide enough that
+    exchange parallelism isn't bucket-capped until ~100M partitions-worth
+    of data). A skinny (bucket, count) pass prefix-sums into a 65,536-entry
+    offset table carried in the task closure (512 KB), then ONE bucket-keyed
+    hash exchange (partition count data-scaled by ``_hash_parts``) ranks
+    each bucket locally — ascending key order within a block is already
+    bucket-grouped because the bucket is a prefix of the key. Only
+    (doc_id, key) rows move."""
     from ray.data.aggregate import Sum
 
     from .windows import _hash_parts
@@ -1129,7 +1132,7 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
                 "doc_id": batch["doc_id"],
                 "key": pa.array(keys, pa.string()),
                 "bucket": pa.array(
-                    np.array([int(k[:2], 16) for k in keys], dtype=np.int64),
+                    np.array([int(k[:4], 16) for k in keys], dtype=np.int64),
                     pa.int64(),
                 ),
             }
@@ -1148,8 +1151,8 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
         .groupby("bucket")
         .aggregate(Sum("cnt"))
         .take_all()
-    )  # <= 256 rows on the driver, by construction
-    per_bucket = np.zeros(256, dtype=np.int64)
+    )  # <= 65,536 skinny rows on the driver, by construction
+    per_bucket = np.zeros(65_536, dtype=np.int64)
     for row in counts:
         per_bucket[row["bucket"]] = row["sum(cnt)"]
     offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))

@@ -159,7 +159,11 @@ def lsh_candidate_pairs(
     hamming-LSH family), and the cross-band pair dedup is a second skinny
     exchange + per-block Arrow ``group_by``. A band bucket above
     ``max_bucket_rows`` raises instead of silently going quadratic."""
-    from .windows import _hash_parts
+    from .windows import _approx_source_rows, _hash_parts
+
+    # band rows = docs x n_bands: tell the exchange sizer about the fan-out
+    n_docs = _approx_source_rows(docs_ds)
+    band_rows_est = None if n_docs is None else n_docs * (num_hashes // band_size)
 
     bands = docs_ds.map_batches(
         _band_rows,
@@ -189,9 +193,9 @@ def lsh_candidate_pairs(
     def distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(["doc_a", "doc_b"]).aggregate([])
 
-    pairs = _hash_parts(bands, ["band"], num_partitions).map_batches(
-        block_pairs, batch_format="pyarrow", batch_size=None
-    )
+    pairs = _hash_parts(
+        bands, ["band"], num_partitions, approx_rows=band_rows_est
+    ).map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
     return _hash_parts(pairs, ["doc_a", "doc_b"], num_partitions).map_batches(
         distinct, batch_format="pyarrow", batch_size=None
     )
