@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": Q.q_curate,
         "repetition": Q.q_repetition,
         "tfidf": Q.q_tfidf,
+        "tfidf_capped": Q.q_tfidf_capped,
         "hash_sample": Q.q_hash_sample,
         # relational family (round 2)
         "asof_join": Q.q_asof_join,
@@ -225,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
         "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
+        "bigram_lm_capped": Q.q_bigram_lm_capped,
         "pmi_bigrams": Q.q_pmi_bigrams,
         "hash_split": Q.q_hash_split,
         "source_divergence": Q.q_source_divergence,
@@ -917,6 +919,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS mean_idf
         FROM documents d LEFT JOIN s USING (doc_id)
         """,
+        "tfidf_capped": r"""
+        WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        cap AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 32),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT t.doc_id,
+                     avg(ln((n.n + 1.0) / (coalesce(cap.df, 0) + 1.0))) AS m
+              FROM t LEFT JOIN cap USING (tok) CROSS JOIN n GROUP BY t.doc_id)
+        SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS mean_idf
+        FROM documents d LEFT JOIN s USING (doc_id)
+        """,
         "hash_sample": """
         WITH b AS (SELECT doc_id, lang, source,
           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1336,6 +1350,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
           FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
                 FROM documents)
+        ),
+        big AS (
+          SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        cu AS (SELECT w1, sum(c) AS cu FROM bc GROUP BY w1),
+        vv AS (SELECT count(*) AS v FROM
+                 (SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc)),
+        scored AS (
+          SELECT big.doc_id, ln((bc.c + 0.5) / (cu.cu + 0.5 * vv.v)) AS lp
+          FROM big JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp
+        FROM scored GROUP BY doc_id
+        """,
+        "bigram_lm_capped": r"""
+        WITH toks0 AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents)
+        ),
+        uni AS (SELECT tok, count(*) AS c FROM toks0 GROUP BY tok),
+        vocab AS (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 16),
+        toks AS (
+          SELECT doc_id, pos,
+                 CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                      ELSE '<unk>' END AS tok
+          FROM toks0
         ),
         big AS (
           SELECT a.doc_id, a.tok AS w1, b.tok AS w2

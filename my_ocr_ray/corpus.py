@@ -293,33 +293,82 @@ def document_frequencies(docs_ds):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def tfidf_scores(docs_ds, n_docs: int | None = None):
-    """Per-doc mean IDF over token occurrences: mean of
-    ln((N+1)/(df+1)); 0.0 for empty docs. DF table broadcast once via
-    ``ray.put`` (vocabulary-sized), scored in one vectorized map pass.
-    """
+def _collect_small(ds) -> pa.Table:
+    """Materialize a BOUNDED dataset (top-k / capped tables) as one Arrow
+    table on the driver — zero-copy block fetch, no row-dict conversion."""
+    import ray
+
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types))).empty_table()
+    return pa.concat_tables(blocks).combine_chunks()
+
+
+def capped_document_frequencies(docs_ds, vocab_cap: int) -> pa.Table:
+    """Driver-side (token, df) Arrow table for the top-``vocab_cap`` tokens
+    by (df desc, token asc) — the BOUNDED broadcast side of
+    :func:`tfidf_scores`. Exact distributed top-k: after the token-keyed
+    combine each token's total df lives in exactly one block, so per-block
+    top-cap then one cap x blocks final top-cap never misses a winner."""
+    df_ds = document_frequencies(docs_ds)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("df", "descending"), ("token", "ascending")]
+        ).slice(0, vocab_cap)
+
+    final = (
+        df_ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
+    return _collect_small(final)
+
+
+def tfidf_scores(docs_ds, n_docs: int | None = None,
+                 vocab_cap: int = 1_000_000):
+    """Per-doc mean IDF over token occurrences: mean of ln((N+1)/(df+1));
+    0.0 for empty docs.
+
+    The broadcast side is BOUNDED: only the top-``vocab_cap`` tokens by
+    (df desc, token asc) ship, as an Arrow table via ``ray.put`` (plasma-
+    shared, zero-copy in every task — never a GC-tracked Python dict).
+    Out-of-vocabulary tokens score as unseen-rare: df=0, idf=ln(N+1) —
+    the exact semantics of the SQL twin's LEFT JOIN + coalesce(df, 0).
+    At the default cap this is value-identical to the uncapped model for
+    any corpus whose vocabulary fits the cap (the ``tfidf`` oracle); the
+    ``tfidf_capped`` oracle pins the binding-cap semantics."""
     import ray
 
     if n_docs is None:
         n_docs = docs_ds.count()  # parquet metadata count, no scan
-    df_pd = document_frequencies(docs_ds).to_pandas()  # vocabulary-sized
-    idf = {
-        t: np.log((n_docs + 1.0) / (d + 1.0))
-        for t, d in zip(df_pd["token"], df_pd["df"])
-    }
-    idf_ref = ray.put(idf)
+    vt = capped_document_frequencies(docs_ds, vocab_cap)  # <= cap rows
+    idf_vals = np.log(
+        (n_docs + 1.0)
+        / (vt["df"].combine_chunks().to_numpy(zero_copy_only=False) + 1.0)
+    )
+    vocab_tbl = pa.table(
+        {"token": vt["token"], "idf": pa.array(idf_vals, pa.float64())}
+    )
+    oov_idf = float(np.log(n_docs + 1.0))
+    idf_ref = ray.put(vocab_tbl)
 
-    def score(batch: pa.Table, idf_ref=idf_ref) -> pa.Table:
-        idf_map = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+    def score(batch: pa.Table, idf_ref=idf_ref, oov=oov_idf) -> pa.Table:
+        vt = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
         toks, row_ids, n_rows = flat_tokens(batch["text"])
         out = np.zeros(n_rows, dtype=np.float64)
         if len(toks):
             denc = toks.dictionary_encode()
             codes = np.asarray(denc.indices, dtype=np.int64)
-            lut = np.array(
-                [idf_map.get(t, 0.0) for t in denc.dictionary.to_pylist()],
-                dtype=np.float64,
-            )
+            pos = pc.index_in(
+                denc.dictionary, value_set=vt["token"].combine_chunks()
+            ).to_numpy(zero_copy_only=False)
+            lut = np.full(len(denc.dictionary), oov, dtype=np.float64)
+            hit = ~np.isnan(pos.astype(np.float64))
+            idf_col = vt["idf"].combine_chunks().to_numpy(zero_copy_only=False)
+            if hit.any():
+                lut[hit] = idf_col[pos[hit].astype(np.int64)]
             vals = lut[codes]
             tot = np.bincount(row_ids, minlength=n_rows)
             sums = np.bincount(row_ids, weights=vals, minlength=n_rows)
@@ -905,34 +954,127 @@ def bigram_counts(docs_ds):
     )
 
 
-def bigram_lm_scores(docs_ds, k: float = 0.5):
+def top_token_vocab(docs_ds, vocab_cap: int) -> pa.Array:
+    """Top-``vocab_cap`` tokens by total occurrence count (desc, token asc)
+    as a driver-side Arrow string array — the vocabulary selector shared by
+    the capped LM paths. Same exact-top-k shape as
+    :func:`capped_document_frequencies`: map-side ``value_counts`` partials,
+    token-keyed combine, per-block then final top-cap."""
+    from .windows import _hash_parts
+
+    empty = pa.Table.from_pydict(
+        {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_tokens(batch["text"])
+        if len(toks) == 0:
+            return empty
+        vc = toks.value_counts()
+        return pa.Table.from_pydict(
+            {"token": vc.field("values"),
+             "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch.group_by("token").aggregate([("c", "sum")])
+        t = pa.Table.from_arrays(
+            [g["token"], pc.cast(g["c_sum"], pa.int64())], names=["token", "c"]
+        )
+        return t.sort_by(
+            [("c", "descending"), ("token", "ascending")]
+        ).slice(0, vocab_cap)
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("c", "descending"), ("token", "ascending")]
+        ).slice(0, vocab_cap)
+
+    combined = _hash_parts(
+        docs_ds.map_batches(partial, batch_format="pyarrow"), ["token"]
+    )
+    vocab = (
+        combined.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+    return _collect_small(vocab)["token"].combine_chunks()
+
+
+def _map_oov(toks: pa.Array, vocab: pa.Array) -> pa.Array:
+    """Replace tokens outside ``vocab`` with the ``<unk>`` sentinel (one
+    hash-probe kernel; no Python loop)."""
+    pos = pc.index_in(toks, value_set=vocab)
+    return pc.if_else(pc.is_valid(pos), toks, pa.scalar("<unk>"))
+
+
+def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int = 1_000_000):
     """Per-doc mean log-probability under an add-k-smoothed corpus
     bigram model — the distributed form of the n-gram-LM quality filter
-    (CCNet-style perplexity ranking): train pass = :func:`bigram_counts`
-    (tiny combined table), score pass = one vectorized map with the
-    model broadcast via ``ray.put``.
+    (CCNet-style perplexity ranking): vocab pass = :func:`top_token_vocab`
+    (top-``vocab_cap`` tokens; everything else maps to ``<unk>`` in BOTH
+    training and scoring), train pass = :func:`bigram_counts` over the
+    mapped tokens (now <= cap²-bounded), score pass = one vectorized map
+    with the model broadcast via ``ray.put`` as Arrow tables (plasma-
+    shared, zero-copy — never GC-tracked Python dicts).
 
     lp(w1,w2) = ln((c(w1,w2)+k) / (c(w1,·)+k·V)) with V = distinct
-    tokens among bigram participants; a doc's score is the mean over its
-    adjacent pairs (docs with <2 tokens drop out, as in the SQL twin).
-    The model table is vocabulary²-sized — broadcast-safe by the same
-    assumption as the TF-IDF DF table; cap the vocabulary before
-    training when that stops holding."""
+    tokens among (mapped) bigram participants; a doc's score is the mean
+    over its adjacent pairs (docs with <2 tokens drop out, as in the SQL
+    twin). At the default cap this is value-identical to the uncapped
+    model whenever the vocabulary fits the cap (the ``bigram_lm`` oracle);
+    ``bigram_lm_capped`` pins the binding-cap semantics."""
     import ray
 
-    bc_pd = bigram_counts(docs_ds).to_pandas()  # vocab^2-sized
-    pairs = bc_pd["pair"].to_numpy()
-    lefts = np.array([p.split("\x00", 1)[0] for p in pairs], dtype=object)
-    rights = np.array([p.split("\x00", 1)[1] for p in pairs], dtype=object)
-    c_map = dict(zip(pairs, bc_pd["c"].to_numpy()))
-    cu_map = bc_pd.assign(w1=lefts).groupby("w1")["c"].sum().to_dict()
-    v = len(set(lefts) | set(rights))
-    model_ref = ray.put((c_map, cu_map, v))
+    vocab = top_token_vocab(docs_ds, vocab_cap)
+    vocab_ref = ray.put(vocab)
 
-    def score(batch: pa.Table, model_ref=model_ref) -> pa.Table:
-        c_map, cu_map, v = (
+    def mapped_docs(batch: pa.Table, vocab_ref=vocab_ref) -> pa.Table:
+        voc = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        toks, rows, n_rows = flat_tokens(batch["text"])
+        if len(toks) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": batch["doc_id"], "text": batch["text"]}
+            )
+        m = _map_oov(toks, voc)
+        # rebuild per-row text from mapped tokens (single binary_join over
+        # a list array sliced by row offsets)
+        cnt = np.bincount(rows, minlength=n_rows)
+        offsets = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m)
+        joined = pc.binary_join(lst, " ")
+        return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": joined})
+
+    mapped = docs_ds.map_batches(mapped_docs, batch_format="pyarrow")
+    bc = _collect_small(bigram_counts(mapped))  # <= cap²-bounded
+    pair_col = bc["pair"].combine_chunks()
+    c_col = pc.cast(bc["c"], pa.int64()).combine_chunks()
+    lefts = pc.list_element(
+        pc.split_pattern(pair_col, "\x00", max_splits=1), 0
+    )
+    rights = pc.list_element(
+        pc.split_pattern(pair_col, "\x00", max_splits=1), 1
+    )
+    cu_tbl = (
+        pa.table({"w1": lefts, "c": c_col})
+        .group_by("w1")
+        .aggregate([("c", "sum")])
+        .rename_columns(["w1", "cu"])
+    )
+    v = len(pc.unique(pa.chunked_array([lefts, rights])))
+    model_ref = ray.put(
+        (pa.table({"pair": pair_col, "c": c_col}), cu_tbl, v)
+    )
+
+    def score(batch: pa.Table, model_ref=model_ref,
+              vocab_ref=vocab_ref) -> pa.Table:
+        bc_tbl, cu_tbl, v = (
             ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
         )
+        voc = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
         empty = pa.Table.from_pydict(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -943,6 +1085,9 @@ def bigram_lm_scores(docs_ds, k: float = 0.5):
         toks, rows, n_rows = flat_tokens(batch["text"])
         if len(toks) < 2:
             return empty
+        toks = _map_oov(toks, voc)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
         same = rows[1:] == rows[:-1]
         if not same.any():
             return empty
@@ -952,12 +1097,23 @@ def bigram_lm_scores(docs_ds, k: float = 0.5):
         pair = pc.binary_join_element_wise(w1, w2, "\x00")
         denc = pair.dictionary_encode()
         codes = np.asarray(denc.indices, dtype=np.int64)
-        dict_pairs = denc.dictionary.to_pylist()
-        lut_c = np.array([c_map.get(p, 0) for p in dict_pairs], dtype=np.float64)
-        lut_cu = np.array(
-            [cu_map.get(p.split("\x00", 1)[0], 0) for p in dict_pairs],
-            dtype=np.float64,
+        npairs = len(denc.dictionary)
+
+        def lut_from(tbl, key_col, val_col, probe):
+            pos = pc.index_in(probe, value_set=tbl[key_col].combine_chunks())
+            posn = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+            out = np.zeros(len(probe), dtype=np.float64)
+            hit = ~np.isnan(posn)
+            vals = tbl[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+            if hit.any():
+                out[hit] = vals[posn[hit].astype(np.int64)]
+            return out
+
+        lut_c = lut_from(bc_tbl, "pair", "c", denc.dictionary)
+        dict_lefts = pc.list_element(
+            pc.split_pattern(denc.dictionary, "\x00", max_splits=1), 0
         )
+        lut_cu = lut_from(cu_tbl, "w1", "cu", dict_lefts)
         lp = np.log((lut_c[codes] + k) / (lut_cu[codes] + k * v))
         cnt = np.bincount(prow, minlength=n_rows)
         sums = np.bincount(prow, weights=lp, minlength=n_rows)

@@ -1048,6 +1048,28 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_tfidf_capped(sf_dir: str):
+    """tfidf with a BINDING vocabulary cap (top 32 tokens by df): proves
+    the bounded-broadcast path — OOV tokens score as df=0 — against a SQL
+    twin with the identical top-cap selection (df desc, token asc)."""
+    from ..corpus import tfidf_scores
+
+    return tfidf_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), vocab_cap=32
+    )
+
+
+def q_bigram_lm_capped(sf_dir: str):
+    """bigram LM with a BINDING vocabulary cap (top 16 tokens by total
+    count; tail maps to <unk> in training AND scoring) — the memory-
+    bounded 100-TB path, value-checked against the same capped SQL."""
+    from ..corpus import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=0.5, vocab_cap=16
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic md5-bucket sample (keep 3 of 10 buckets) — the
     reproducible, shuffle-free way to subsample at scale."""
