@@ -1205,31 +1205,65 @@ def source_overlap(docs_ds, prefix_tokens: int = 5,
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def incremental_dedup(new_docs_ds, known_docs_ds):
+def incremental_dedup(new_docs_ds, known_docs_ds, path: str | None = None,
+                      broadcast_threshold: int = 2_000_000,
+                      num_partitions: int | None = None):
     """Dedup a NEW document batch against a prior corpus snapshot ->
     (doc_id, fp): the continuously-updated-corpus shape, where each
     ingest run must drop documents already present in earlier runs as
     well as duplicates within itself.
 
-    The snapshot reduces to its distinct normalized-text fingerprints
-    (distributed ``unique``), broadcast once; new docs filter against it
-    with one vectorized searchsorted per batch (zero exchange on the new
-    stream), then keep-min-doc_id within each surviving fingerprint.
-    When the snapshot's fingerprint set outgrows a broadcast, swap the
-    membership filter for a fp-hash co-partitioned anti join — the
-    streaming path stays identical."""
+    Two value-identical membership paths, picked by snapshot size:
+
+    - ``broadcast`` (snapshot <= ``broadcast_threshold`` rows): the
+      snapshot reduces to its distinct fingerprints (distributed
+      ``unique``), broadcast once; new docs filter with one vectorized
+      searchsorted per batch — zero exchange on the new stream.
+    - ``join`` (larger snapshots, the 100-TB path): a fp-hash
+      co-partitioned ``left_anti`` join — only skinny (doc_id, fp) rows
+      exchange, the snapshot never lands on the driver.
+
+    ``path`` forces one explicitly; tests pin the two paths equal."""
     from ray.data.aggregate import Min
 
     from .analysis import fingerprint_batch
     from .relational import broadcast_semi_anti_join
+    from .windows import _approx_source_rows, _size_partitions
 
     known_fps = known_docs_ds.map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
     new_fps = new_docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-    fresh = broadcast_semi_anti_join(
-        new_fps, key="fp", build_keys_ds=known_fps, build_key="fp", anti=True
-    )
+    if path is None:
+        est = _approx_source_rows(known_docs_ds)
+        path = (
+            "join"
+            if est is not None and est > broadcast_threshold
+            else "broadcast"
+        )
+    if path == "broadcast":
+        fresh = broadcast_semi_anti_join(
+            new_fps, key="fp", build_keys_ds=known_fps, build_key="fp",
+            anti=True,
+        )
+    else:
+        import ray
+
+        if num_partitions is None:
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+            num_partitions = _size_partitions(
+                _approx_source_rows(known_docs_ds), cpus
+            )
+        fresh = new_fps.join(
+            known_fps.select_columns(["fp"]),
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=("fp",),
+        )
     agg = fresh.groupby("fp").aggregate(Min("doc_id"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1288,20 +1322,28 @@ def dedup_rate_by_source(docs_ds):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = None):
+def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = None,
+                      path: str | None = None,
+                      broadcast_threshold: int = 2_000_000):
     """Corpus-wide repeated-passage REMOVAL -> (doc_id, n_kept, n_dropped,
     text): rewrite each document keeping only passages whose first corpus
     occurrence it owns (lexicographic-min (doc_id, ci) owner, identical to
     :func:`passage_dedup`'s accounting) — the transform counterpart of the
     passage_dedup report, i.e. the CCNet/C4 repeated-paragraph scrub.
 
-    Shape: pass A ships only skinny (doc_id, ci, h) rows through one
-    h-keyed exchange and emits the DROP list (duplicate passages only,
-    dedup-candidate sized); the drop keys broadcast once as a sorted
-    array and the rebuild is a second pure map over the corpus — document
-    text never enters an exchange. When the duplicate mass outgrows a
-    broadcast, swap the membership filter for a doc_id-keyed join (the
-    :func:`incremental_dedup` note applies)."""
+    Pass A ships only skinny (doc_id, ci, h) rows through one h-keyed
+    exchange and emits the DROP list (duplicate passages only, dedup-
+    candidate sized), MATERIALIZED so its exact size picks the path:
+
+    - ``broadcast`` (drop list <= ``broadcast_threshold`` keys): drop keys
+      broadcast once as a sorted array; the rebuild is a second pure map —
+      document text never enters an exchange.
+    - ``join`` (heavier duplicate mass, the 100-TB path): passages
+      left-outer join the drop keys (key-hash co-partitioned), then one
+      doc_id-keyed exchange rebuilds per block — text moves through two
+      exchanges but nothing ever lands on the driver.
+
+    ``path`` forces one explicitly; tests pin the two paths equal."""
     import ray
 
     from .windows import _hash_parts
@@ -1325,11 +1367,19 @@ def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = Non
             {"key": pa.array(key[key > first[codes]], pa.int64())}
         )
 
-    drops = _hash_parts(
-        docs_ds.map_batches(skinny, batch_format="pyarrow"),
-        ["h"],
-        num_partitions,
-    ).map_batches(dup_keys, batch_format="pyarrow", batch_size=None)
+    drops = (
+        _hash_parts(
+            docs_ds.map_batches(skinny, batch_format="pyarrow"),
+            ["h"],
+            num_partitions,
+        )
+        .map_batches(dup_keys, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if path is None:
+        path = "join" if drops.count() > broadcast_threshold else "broadcast"
+    if path == "join":
+        return _drop_dup_passages_join(docs_ds, drops, chunk, num_partitions)
     drop_keys = np.asarray(sorted(drops.unique("key")), dtype=np.int64)
     drop_ref = ray.put(drop_keys)
 
@@ -1370,6 +1420,104 @@ def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = Non
         )
 
     return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _drop_dup_passages_join(docs_ds, drops, chunk: int,
+                            num_partitions: int | None):
+    """The no-broadcast twin of :func:`drop_dup_passages`: passages
+    left-outer join the drop-key list (key-hash co-partitioned), then one
+    doc_id-keyed exchange rebuilds every document per block. Value-
+    identical to the broadcast path (pinned by test)."""
+    import ray
+
+    from .windows import _approx_source_rows, _hash_parts, _size_partitions
+
+    if num_partitions is None:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = _size_partitions(_approx_source_rows(docs_ds), cpus)
+
+    def keyed_passages(batch: pa.Table) -> pa.Table:
+        p = _passage_rows(batch, chunk, with_text=True)
+        key = (
+            p["doc_id"].to_numpy(zero_copy_only=False) * _CI_BOUND
+            + p["ci"].to_numpy(zero_copy_only=False)
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": p["doc_id"],
+                "ci": p["ci"],
+                "ptext": p["ptext"],
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": batch["key"],
+                "dropped": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    passages = docs_ds.map_batches(keyed_passages, batch_format="pyarrow")
+    drop_marks = drops.map_batches(mark, batch_format="pyarrow")
+    nd = _nonempty(drop_marks)
+    joined = passages.join(
+        nd if nd is not None else drop_marks,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("key",),
+    )
+
+    empty_out = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def rebuild_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ci = batch["ci"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ci, doc))
+        dropped = pc.is_valid(batch["dropped"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )[order]
+        keep = ~dropped
+        doc_s = doc[order]
+        ptext = batch["ptext"].combine_chunks().take(pa.array(order))
+        d_start = np.flatnonzero(
+            np.concatenate(([True], doc_s[1:] != doc_s[:-1]))
+        )
+        d_len = np.diff(np.append(d_start, len(doc_s)))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), d_start)
+        kept_text = ptext.filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        joined_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), kept_text), " "
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_s[d_start], pa.int64()),
+                "n_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_dropped": pa.array(d_len - kept_per_doc, pa.int64()),
+                "text": joined_text,
+            }
+        )
+
+    return _hash_parts(joined, ["doc_id"], num_partitions).map_batches(
+        rebuild_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def diff_snapshots(old_docs_ds, new_docs_ds, num_partitions: int = 8):

@@ -761,3 +761,71 @@ def test_pagerank_hand_values_and_path_equality(ray_session):
                               small_graph_rows=0).take_all()}
     assert set(fast) == set(dist)
     assert all(abs(fast[k] - dist[k]) < 1e-9 for k in fast)
+
+
+def test_drop_dup_passages_join_path_equals_broadcast(ray_session):
+    """Round-3 (VERDICT r2 item 3): the no-broadcast join fallback is
+    value-identical to the broadcast membership filter."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import drop_dup_passages
+
+    texts = []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append("shared one two three four " + f"own{i} tail{i}")
+        else:
+            texts.append(f"u{i} v{i} w{i} x{i} y{i} z{i}")
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def norm(rows):
+        return sorted(
+            (r["doc_id"], r["n_kept"], r["n_dropped"], r["text"]) for r in rows
+        )
+
+    bc = norm(drop_dup_passages(ds, chunk=2, path="broadcast").take_all())
+    jn = norm(drop_dup_passages(ds, chunk=2, path="join").take_all())
+    assert bc == jn
+    assert any(r[2] > 0 for r in bc)  # some passages actually dropped
+
+
+def test_incremental_dedup_join_path_equals_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import incremental_dedup
+
+    known = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma", "delta eps"], pa.string()),
+        }
+    )
+    new = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(
+                ["alpha  beta", "fresh text", "fresh text", "GAMMA"],
+                pa.string(),
+            ),
+        }
+    )
+    kds = ray.data.from_arrow(known).repartition(2)
+    nds = ray.data.from_arrow(new).repartition(2)
+
+    def norm(rows):
+        return sorted((r["doc_id"], r["fp"]) for r in rows)
+
+    bc = norm(incremental_dedup(nds, kds, path="broadcast").take_all())
+    jn = norm(incremental_dedup(nds, kds, path="join").take_all())
+    assert bc == jn
+    # doc 10 is a normalized dup of known doc 1; 11/12 dedup to 11;
+    # 13 ("GAMMA" lowercased) dups known "gamma"
+    assert [d for d, _ in bc] == [11]
