@@ -147,108 +147,108 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries, so the first 50 hold >=1 representative per operator
+    # family (extraction, parsers, eval metrics, analysis, windows,
+    # relational, dedup, ANN, corpus, sampling/set-ops, sketches); the
+    # remaining entries are additional members of already-covered
+    # families, self-checked by scripts/oracle_check.py.
     return {
-        # interleaved-span family
+        "flagship_extract": Q.q_flagship_extract,
         "span_explode": Q.q_span_explode,
         "extract_reassemble": Q.q_extract_reassemble,
         "extract_strip": Q.q_extract_strip,
-        "flagship_extract": Q.q_flagship_extract,
-        "ocr_eval": Q.q_ocr_eval,
-        # parser / sink / eval-metric families
         "recog_parse": Q.q_recog_parse,
         "det_parse": Q.q_det_parse,
         "det_sink": Q.q_det_sink,
         "ocr_metric": Q.q_ocr_metric,
-        "hmean_iou": Q.q_hmean_iou,
-        "hmean_ic13": Q.q_hmean_ic13,
         "hmean_sweep": Q.q_hmean_sweep,
-        # text analysis
-        "token_count": Q.q_token_count,
+        "ner_f1": Q.q_ner_f1,
         "quality": Q.q_quality,
         "lang_id": Q.q_lang_id,
-        "fingerprint": Q.q_fingerprint,
         "pii_redact": Q.q_pii_redact,
-        "events_parse": Q.q_events_parse,
+        "gopher_rules": Q.q_gopher_rules,
+        "quality_gate": Q.q_quality_gate,
         "events_window": Q.q_events_window,
         "sessionize": Q.q_sessionize,
         "sessionize_salted": Q.q_sessionize_salted,
-        "top_docs": Q.q_top_docs,
-        "lineitem_agg": Q.q_lineitem_agg,
+        "interval_merge": Q.q_interval_merge,
+        "interval_merge_salted": Q.q_interval_merge_salted,
         "orders_join": Q.q_orders_join,
-        # dedup
+        "asof_join": Q.q_asof_join,
+        "range_join": Q.q_range_join,
+        "anti_join": Q.q_anti_join,
+        "funnel": Q.q_funnel,
+        "len_quantiles": Q.q_len_quantiles,
+        "group_topk": Q.q_group_topk,
         "exact_dedup": Q.q_exact_dedup,
-        "minhash_sig": Q.q_minhash_sig,
         "lsh_pairs": Q.q_lsh_pairs,
         "dedup_clusters": Q.q_dedup_clusters,
+        "winnow_pairs": Q.q_winnow_pairs,
+        "embedding_dups": Q.q_embedding_dups,
+        "passage_dedup": Q.q_passage_dedup,
+        "drop_dup_passages": Q.q_drop_dup_passages,
+        "incremental_dedup": Q.q_incremental_dedup,
+        "split_leakage": Q.q_split_leakage,
+        "ann_topk": Q.q_ann_topk,
+        "ann_filtered": Q.q_ann_filtered,
+        "embedding_centroids": Q.q_embedding_centroids,
+        "ngram_topk": Q.q_ngram_topk,
+        "decontaminate": Q.q_decontaminate,
+        "tfidf_capped": Q.q_tfidf_capped,
+        "bigram_lm_capped": Q.q_bigram_lm_capped,
+        "epoch_shuffle": Q.q_epoch_shuffle,
+        "seq_pack": Q.q_seq_pack,
+        "hash_split": Q.q_hash_split,
+        "token_budget": Q.q_token_budget,
+        "mix_strata": Q.q_mix_strata,
+        "weighted_sample": Q.q_weighted_sample,
+        "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
+        # --- past the driver's 50-entry window (same families) ---
+        "ocr_eval": Q.q_ocr_eval,
+        "hmean_iou": Q.q_hmean_iou,
+        "hmean_ic13": Q.q_hmean_ic13,
+        "token_count": Q.q_token_count,
+        "fingerprint": Q.q_fingerprint,
+        "events_parse": Q.q_events_parse,
+        "top_docs": Q.q_top_docs,
+        "lineitem_agg": Q.q_lineitem_agg,
+        "minhash_sig": Q.q_minhash_sig,
         "simhash": Q.q_simhash,
         "jaccard_adjacent": Q.q_jaccard_adjacent,
         "containment": Q.q_containment,
-        "split_leakage": Q.q_split_leakage,
-        "winnow_pairs": Q.q_winnow_pairs,
         "pagerank": Q.q_pagerank,
-        "embedding_dups": Q.q_embedding_dups,
-        # embeddings / ANN
-        "embedding_centroids": Q.q_embedding_centroids,
-        "ann_topk": Q.q_ann_topk,
         "ann_ivf": Q.q_ann_ivf,
         "knn_graph": Q.q_knn_graph,
         "knn_graph_ivf": Q.q_knn_graph_ivf,  # rows-only: approximate by construction
-        # corpus family (round 2)
-        "ngram_topk": Q.q_ngram_topk,
-        "decontaminate": Q.q_decontaminate,
         "curate": Q.q_curate,
         "repetition": Q.q_repetition,
         "tfidf": Q.q_tfidf,
-        "tfidf_capped": Q.q_tfidf_capped,
         "hash_sample": Q.q_hash_sample,
-        # relational family (round 2)
-        "asof_join": Q.q_asof_join,
-        "group_topk": Q.q_group_topk,
-        "len_quantiles": Q.q_len_quantiles,
         "sliding_window": Q.q_sliding_window,
-        "range_join": Q.q_range_join,
-        "weighted_sample": Q.q_weighted_sample,
         "shared_grams": Q.q_shared_grams,
         "bpe_tokens": Q.q_bpe_tokens,
         "image_dups": Q.q_image_dups,  # rows-only: image decode has no SQL
         "distinct_users": Q.q_distinct_users,
-        "funnel": Q.q_funnel,
         "rollup": Q.q_rollup,
-        "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "cms_ngrams": Q.q_cms_ngrams,  # rows-only: approximate; exact twin is ngram_topk
-        "anti_join": Q.q_anti_join,
         "semi_join": Q.q_semi_join,
-        "interval_merge": Q.q_interval_merge,
-        "interval_merge_salted": Q.q_interval_merge_salted,
-        "mix_strata": Q.q_mix_strata,
         "stratified_sample": Q.q_stratified_sample,
         "inverted_index": Q.q_inverted_index,
         "quantile_sketch": Q.q_quantile_sketch,  # rows-only: sketch estimate
-        "ner_f1": Q.q_ner_f1,
         "bigram_lm": Q.q_bigram_lm,
-        "bigram_lm_capped": Q.q_bigram_lm_capped,
         "pmi_bigrams": Q.q_pmi_bigrams,
-        "hash_split": Q.q_hash_split,
         "source_divergence": Q.q_source_divergence,
         "oov_rate": Q.q_oov_rate,
         "lang_confusion": Q.q_lang_confusion,
-        "gopher_rules": Q.q_gopher_rules,
         "readability": Q.q_readability,
-        "passage_dedup": Q.q_passage_dedup,
         "simhash_dups": Q.q_simhash_dups,
         "length_outliers": Q.q_length_outliers,
-        "seq_pack": Q.q_seq_pack,
         "source_overlap": Q.q_source_overlap,
-        "epoch_shuffle": Q.q_epoch_shuffle,
         "embedding_clusters": Q.q_embedding_clusters,
         "chunk_windows": Q.q_chunk_windows,
-        "ann_filtered": Q.q_ann_filtered,
         "filter_funnel": Q.q_filter_funnel,
-        "incremental_dedup": Q.q_incremental_dedup,
         "dedup_rate": Q.q_dedup_rate,
-        "quality_gate": Q.q_quality_gate,
-        "drop_dup_passages": Q.q_drop_dup_passages,
-        "token_budget": Q.q_token_budget,
         "diff_snapshots": Q.q_diff_snapshots,
         "validate": Q.q_validate,
     }
