@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_metric": Q.q_ocr_metric,
         "hmean_sweep": Q.q_hmean_sweep,
         "ner_f1": Q.q_ner_f1,
+        "kie_rowcol": Q.q_kie_rowcol,
         "quality": Q.q_quality,
         "lang_id": Q.q_lang_id,
         "pii_redact": Q.q_pii_redact,
@@ -918,6 +919,66 @@ def oracle_sql() -> dict[str, str]:
               FROM t JOIN df USING (tok) CROSS JOIN n GROUP BY t.doc_id)
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS mean_idf
         FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "kie_rowcol": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 generate_subscripts(l, 1) - 1 AS i
+          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                FROM documents)
+        ),
+        cells AS (
+          SELECT doc_id, i, tok,
+            i // 4 AS gt_row, i % 4 AS gt_col,
+            (i // 4 * 40 + 20 +
+             CASE WHEN length(tok) = 1 THEN 25 ELSE 0 END) // 40
+              AS pred_row,
+            ((i % 4) * 100 + 50 +
+             CASE WHEN length(tok) = 8 THEN 60 ELSE 0 END) // 100
+              AS pred_col
+          FROM toks
+        ),
+        pr AS (SELECT doc_id, string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS g
+               FROM cells GROUP BY doc_id, pred_row),
+        gr AS (SELECT doc_id, string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS g
+               FROM cells GROUP BY doc_id, gt_row),
+        pcg AS (SELECT doc_id, string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS g
+                FROM cells GROUP BY doc_id, pred_col),
+        gcg AS (SELECT doc_id, string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS g
+                FROM cells GROUP BY doc_id, gt_col),
+        stats AS (
+          SELECT doc_id, count(*) AS n_cells,
+            sum(CASE WHEN regexp_full_match(tok, '[0-9]+([.,][0-9]+)?')
+                     THEN 1 ELSE 0 END) AS n_num,
+            sum(CASE WHEN tok IN ('table', 'line', 'row')
+                     THEN 1 ELSE 0 END) AS n_obj
+          FROM cells GROUP BY doc_id
+        ),
+        rtp AS (SELECT doc_id, count(*) AS tp FROM
+                  (SELECT doc_id, g FROM pr INTERSECT SELECT doc_id, g FROM gr)
+                GROUP BY doc_id),
+        ctp AS (SELECT doc_id, count(*) AS tp FROM
+                  (SELECT doc_id, g FROM pcg INTERSECT SELECT doc_id, g FROM gcg)
+                GROUP BY doc_id),
+        rp AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY doc_id),
+        rg AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+        cp AS (SELECT doc_id, count(*) AS n FROM pcg GROUP BY doc_id),
+        cg AS (SELECT doc_id, count(*) AS n FROM gcg GROUP BY doc_id),
+        f AS (
+          SELECT s.doc_id, s.n_cells, s.n_num, s.n_obj,
+            2.0 * coalesce(rtp.tp, 0) / (rp.n + rg.n) AS rf,
+            2.0 * coalesce(ctp.tp, 0) / (cp.n + cg.n) AS cf
+          FROM stats s
+          JOIN rp USING (doc_id) JOIN rg USING (doc_id)
+          JOIN cp USING (doc_id) JOIN cg USING (doc_id)
+          LEFT JOIN rtp USING (doc_id) LEFT JOIN ctp USING (doc_id)
+        )
+        SELECT doc_id, CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(n_num AS BIGINT) AS n_num,
+               CAST(n_obj AS BIGINT) AS n_obj,
+               round(rf, 4) AS row_f1, round(cf, 4) AS col_f1,
+               round((rf + cf) / 2, 4) AS rowcol_f1
+        FROM f
         """,
         "tfidf_capped": r"""
         WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

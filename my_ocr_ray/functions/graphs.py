@@ -118,26 +118,38 @@ def connected_components_scored(
     )
 
 
+def group_f1(pred_edges, gt_edges, n_cells: int) -> float:
+    """Set-equality F1 between the connected-component groupings induced by
+    two edge lists (UNROUNDED): tp = exactly-matching groups,
+    prec = tp/|pred groups|, rec = tp/|gt groups|."""
+
+    def group_sets(edges):
+        return {
+            tuple(c) for c in connected_components_edges(n_cells, edges)
+        }
+
+    p, g = group_sets(pred_edges), group_sets(gt_edges)
+    tp = len(p & g)
+    prec = tp / len(p) if p else 0.0
+    rec = tp / len(g) if g else 0.0
+    return 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+
+
 def row_col_f1(
     pred_row_edges, pred_col_edges, gt_row_edges, gt_col_edges, n_cells: int
 ) -> float:
     """Table-structure F1 (fork's ``cal_row_col_f1``): group cells into
     rows/cols by edge connected components, score set-equality of the
-    predicted vs ground-truth groupings, average row and col F1."""
+    predicted vs ground-truth groupings, average row and col F1.
+    Rounded ties-away-from-zero so results compare exactly against
+    DuckDB ``round()`` in the ``kie_rowcol`` oracle."""
+    from .num import round_away_scalar
 
-    def group_sets(edges):
-        return {
-            tuple(c)
-            for c in connected_components_edges(n_cells, edges)
-        }
-
-    def f1(pred_edges, gt_edges):
-        p, g = group_sets(pred_edges), group_sets(gt_edges)
-        tp = len(p & g)
-        prec = tp / len(p) if p else 0.0
-        rec = tp / len(g) if g else 0.0
-        return 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
-
-    return round(
-        (f1(pred_row_edges, gt_row_edges) + f1(pred_col_edges, gt_col_edges)) / 2, 4
+    return round_away_scalar(
+        (
+            group_f1(pred_row_edges, gt_row_edges, n_cells)
+            + group_f1(pred_col_edges, gt_col_edges, n_cells)
+        )
+        / 2,
+        4,
     )

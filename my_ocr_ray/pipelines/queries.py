@@ -1048,6 +1048,16 @@ def q_tfidf(sf_dir: str):
     return tfidf_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_kie_rowcol(sf_dir: str):
+    """End-to-end KIE / table-structure pipeline: deterministic per-doc
+    form derivation -> sort_vertex8 box ingest -> actor-pool tokenize-
+    classify + geometry grouping stage -> cal_row_col_f1 scoring
+    (reference kie_dataset.py:73-170 / SDMGR flow; fork cal_row_col_f1)."""
+    from .kie import kie_rowcol
+
+    return kie_rowcol(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_tfidf_capped(sf_dir: str):
     """tfidf with a BINDING vocabulary cap (top 32 tokens by df): proves
     the bounded-broadcast path — OOV tokens score as df=0 — against a SQL
