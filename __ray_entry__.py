@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         # --- past the driver's 50-entry window (same families) ---
         "ocr_eval": Q.q_ocr_eval,
+        "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
         "hmean_iou": Q.q_hmean_iou,
         "hmean_ic13": Q.q_hmean_ic13,
         "token_count": Q.q_token_count,

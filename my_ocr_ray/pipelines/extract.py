@@ -95,6 +95,7 @@ def extract(
     shuffle_partitions: Optional[int] = None,
     approx_docs: Optional[int] = None,
     on_error: str = "raise",
+    ocr_stage_kwargs: Optional[dict] = None,
 ):
     """Run the full extraction pipeline; returns a documents-schema Dataset.
 
@@ -153,6 +154,8 @@ def extract(
             "media_lookup_ref": media_lookup_ref,
             "scale": scale,
             "on_error": on_error,
+            # stage extension seam (rotation TTA, preprocessor, ...)
+            **(ocr_stage_kwargs or {}),
         },
         batch_format="pyarrow",
         batch_size=ocr_batch_size,

@@ -566,6 +566,43 @@ def q_ocr_eval(sf_dir: str):
     return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
 
 
+def q_rotate_tta(sf_dir: str):
+    """Rotation-TTA extraction accuracy vs the golden corpus (rows-only:
+    OCR semantics have no SQL twin). Every word crop is recognized at 0 and
+    180 degrees inside the OCR stage's padded recognition batch and
+    merge_aug_results max-score votes (encode_decode_recognizer.py:157-168
+    aug_test semantics) — on the upright corpus the vote must be a no-op,
+    so the expected metrics are exactly 1.0, same as ocr_eval; the
+    upside-down recovery case is pinned by the golden unit test."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..synth import ensure_corpus
+    from .evaluate import extraction_accuracy
+    from .extract import extract, load_media_lookup
+
+    n_docs = min(
+        200, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    )
+    corpus = ensure_corpus(n_docs, seed=17)
+    lookup = load_media_lookup(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    out = extract(
+        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
+        media_lookup_ref=lookup,
+        ocr_concurrency=4,
+        ocr_stage_kwargs={"tta_rotations": 2},
+    )
+    expected = pads.dataset(
+        sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
+    ).to_table()
+    acc = extraction_accuracy(out, expected)
+    return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
+
+
 # ---------------------------------------------------------------------------
 # parser / sink / eval-metric family (oracle-checked fixtures derived
 # deterministically from the documents table so the REAL kernels run on the

@@ -154,7 +154,18 @@ class OCRStage:
         min_y_overlap_ratio: float = 0.5,
         on_error: str = "raise",
         preprocessor=None,
+        tta_rotations: int = 1,
     ):
+        # rotation test-time augmentation (``encode_decode_recognizer.py:
+        # 157-168`` aug_test semantics): each word CROP is recognized at
+        # ``tta_rotations`` rotations (1 = off; 2 = 0/180deg; 4 = +90/270)
+        # in the same padded recognition batch, and ``merge_aug_results``
+        # max-score votes per word — upside-down text instances decode
+        # correctly while upright crops are unaffected (the rotated variant
+        # scores lower and loses every vote).
+        if tta_rotations not in (1, 2, 4):
+            raise ValueError("tta_rotations must be 1, 2 or 4")
+        self.tta_rotations = tta_rotations
         # recognition-preprocessor seam (TPS rectification in the reference,
         # ``tps_preprocessor.py:25-82``): a callable applied to each word
         # crop before frame extraction, constructed once per actor —
@@ -243,25 +254,39 @@ class OCRStage:
                 self.errors += 1
                 continue
             ink = binarize(img)
+            rots = (0,) if self.tta_rotations == 1 else (
+                (0, 2) if self.tta_rotations == 2 else (0, 1, 2, 3)
+            )
             for b in detect_word_boxes(img, scale=self.scale):
                 # detect emits axis-aligned quads [x0,y0,x1,y0,x1,y1,x0,y1]
                 x0, y0, x1, y1 = int(b[0]), int(b[1]), int(b[4]), int(b[5])
                 crop = ink[y0:y1, x0:x1]
                 if self.preprocessor is not None:
                     crop = self.preprocessor(crop)
-                all_frames.append(word_frame_logits(crop, scale=self.scale))
+                # TTA variants join the same padded recognition batch —
+                # per-word work stays batched, only K x frames
+                for k in rots:
+                    var = crop if k == 0 else np.rot90(crop, k)
+                    all_frames.append(word_frame_logits(var, scale=self.scale))
                 word_meta.append((slot, b[:8]))
 
         texts_per_slot: list[list[dict]] = [[] for _ in images]
         if all_frames:
+            from ..functions.ctc import merge_aug_results
+
+            k_var = self.tta_rotations
             frames, ratios = pad_frame_batch(all_frames)
             for w, (slot, quad) in enumerate(word_meta):
-                idxs, _scores = ctc_greedy_decode(
-                    frames[w], blank=BLANK_IDX, valid_ratio=float(ratios[w])
-                )
-                texts_per_slot[slot].append(
-                    {"box": quad, "text": indices_to_text(idxs, DICT36)}
-                )
+                cands: list[tuple[str, float]] = []
+                for v in range(w * k_var, (w + 1) * k_var):
+                    idxs, scores = ctc_greedy_decode(
+                        frames[v], blank=BLANK_IDX, valid_ratio=float(ratios[v])
+                    )
+                    text = indices_to_text(idxs, DICT36)
+                    # reference scoring: sum(char scores) / max(1, len(text))
+                    cands.append((text, sum(scores) / max(1, len(text))))
+                best_text, _ = merge_aug_results(cands)
+                texts_per_slot[slot].append({"box": quad, "text": best_text})
 
         ocr_texts = []
         for words in texts_per_slot:
