@@ -121,12 +121,18 @@ def ingest_det_dataset(
 
     from ..sources.lines import DET_SCHEMA
 
-    parse = _GT_PARSERS[fmt]
+    # totaltext gt is a binary MAT5 polygt cell matrix (poly_gt_<stem>.mat,
+    # parsed whole-file by sources.mat5); the line formats parse per gt line
+    is_mat = fmt == "totaltext"
+    parse = None if is_mat else _GT_PARSERS[fmt]
     pairs = []
     for suffix in (".png", ".PNG", ".jpg", ".JPG", ".jpeg", ".JPEG"):
         for img in sorted(_glob.glob(os.path.join(img_dir, "*" + suffix))):
             stem = os.path.splitext(os.path.basename(img))[0]
-            gt = os.path.join(gt_dir, f"gt_{stem}.txt")
+            gt = os.path.join(
+                gt_dir,
+                f"poly_gt_{stem}.mat" if is_mat else f"gt_{stem}.txt",
+            )
             if os.path.exists(gt):
                 pairs.append({"img_file": img, "gt_file": gt})
     if not pairs:
@@ -140,8 +146,16 @@ def ingest_det_dataset(
             with open(img_file, "rb") as f:
                 data = f.read()
             w, h = _png_size(data)
-            with open(gt_file, encoding="utf-8-sig") as f:
-                anns = [a for a in (parse(ln) for ln in f) if a is not None]
+            if is_mat:
+                from ..sources.mat5 import parse_totaltext_gt
+
+                with open(gt_file, "rb") as f:
+                    anns = parse_totaltext_gt(f.read())
+            else:
+                with open(gt_file, encoding="utf-8-sig") as f:
+                    anns = [
+                        a for a in (parse(ln) for ln in f) if a is not None
+                    ]
             rows["file_name"].append(os.path.basename(img_file))
             rows["height"].append(h)
             rows["width"].append(w)
