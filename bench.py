@@ -9,9 +9,10 @@ Prints ONE JSON line:
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
---scaling: runs the flagship job in two fresh processes (num_cpus=8 and 32)
-on the same pre-generated corpus and reports both throughputs plus scaling
-efficiency (sandbox stand-in for N vs 4N nodes); result is appended to
+--scaling: runs the flagship job in fresh processes as 3 interleaved
+(num_cpus=8, num_cpus=32) pairs on the same pre-generated corpus and
+reports the MEDIAN pair's throughputs and scaling efficiency plus every
+pair (sandbox stand-in for N vs 4N nodes); result is appended to
 BASELINE.md.
 """
 from __future__ import annotations
@@ -150,15 +151,21 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             return json.loads(line)["docs_per_sec"]
 
+        # MEDIAN of >= 3 interleaved pairs (round-3): headlining the
+        # cleanest pair is a best-of selection; the median is robust to one
+        # polluted window in either direction while still ignoring a single
+        # outlier pair.
         pairs = []
-        for _attempt in range(2):  # first pair also warms the page cache
+        for _attempt in range(3):  # first pair also warms the page cache
             pairs.append((one_run(8), one_run(32)))
-        t8, t32 = max(pairs, key=lambda p: p[0] + p[1])
-        eff = (t32 / t8) / 4.0
+        effs = sorted((b / a) / 4.0 for a, b in pairs)
+        eff = effs[len(effs) // 2]
+        t8, t32 = next(p for p in pairs if abs((p[1] / p[0]) / 4.0 - eff) < 1e-12)
         payload = {
             "metric": "scaling_efficiency_8_to_32",
             "value": round(eff, 3),
             "unit": "ratio",
+            "aggregation": "median of 3 interleaved pairs",
             "docs_per_sec_8": round(t8, 2),
             "docs_per_sec_32": round(t32, 2),
             "speedup": round(t32 / t8, 3),
@@ -221,7 +228,8 @@ def _record_baseline(payload: dict) -> None:
         f"- docs/sec @ num_cpus=8:  {payload['docs_per_sec_8']}",
         f"- docs/sec @ num_cpus=32: {payload['docs_per_sec_32']}",
         f"- speedup 8→32: {payload['speedup']}  (ideal 4.0)",
-        f"- scaling efficiency: {payload['value']}  (target ≥ 0.8)",
+        f"- scaling efficiency: {payload['value']}  (target ≥ 0.8; "
+        f"{payload.get('aggregation', 'best pair')})",
         f"- corpus: {payload['n_docs']} synthetic interleaved docs (sf {payload['sf']})",
     ]
     if payload.get("all_pairs"):
