@@ -113,3 +113,41 @@ def test_kie_rowcol_dataset_runs(ray_session):
                      concurrency=1).take_all()
     assert len(out) == 5
     assert all(0.0 <= r["rowcol_f1"] <= 1.0 for r in out)
+
+
+def test_sort_vertex8_centroid_equivalence():
+    """The vectorized centroid shortcut in KIEGraphStage is exactly what
+    per-cell sort_vertex8 normalization would yield for the axis-aligned
+    ingest boxes (any input vertex order)."""
+    from my_ocr_ray.functions.geometry import sort_vertex8
+
+    for xc, yc in [(50.0, 20.0), (150.0, 60.0), (250.0, 45.0)]:
+        x0, x1, y0, y1 = xc - 45, xc + 45, yc - 15, yc + 15
+        quad = sort_vertex8([x1, y0, x0, y0, x0, y1, x1, y1])
+        q = np.asarray(quad).reshape(4, 2)
+        assert q[:, 0].mean() == xc and q[:, 1].mean() == yc
+        # canonical top-left-clockwise rectangle
+        assert quad == [x0, y0, x1, y0, x1, y1, x0, y1]
+
+
+def test_stage_rowcol_equals_row_col_f1_kernel():
+    """The stage's reused-f1 shortcut is value-identical to calling the
+    row_col_f1 kernel on the same edge lists."""
+    import re
+
+    from my_ocr_ray.pipelines.kie import KIEGraphStage, _bucket_edges
+
+    stage = KIEGraphStage()
+    toks = ["a", "bb", "cc", "dd", "ee", "customer", "gg", "hh", "ii"]
+    m = stage._doc_metrics(1, " ".join(toks))
+    n = m["n_cells"]
+    i = np.arange(n)
+    lens = np.array([len(t) for t in toks])
+    gt_row, gt_col = i // 4, i % 4
+    pred_row = (gt_row * 40 + 20 + np.where(lens == 1, 25, 0)) // 40
+    pred_col = (gt_col * 100 + 50 + np.where(lens == 8, 60, 0)) // 100
+    kernel = row_col_f1(
+        _bucket_edges(pred_row), _bucket_edges(pred_col),
+        _bucket_edges(gt_row), _bucket_edges(gt_col), n,
+    )
+    assert m["rowcol_f1"] == kernel
