@@ -201,6 +201,8 @@ def _hash_parts(ds, keys, num_partitions: int | None = None,
         SIZING_LOG.append(
             {"keys": list(keys), "est_rows": rows, "num_partitions": num_partitions}
         )
+        if len(SIZING_LOG) > 4096:  # bounded: diagnostics, not a ledger
+            del SIZING_LOG[:2048]
     _configure_hash_shuffle(ds, num_partitions, aggregator_cpu_budget)
     return ds.repartition(num_blocks=num_partitions, keys=keys)
 
