@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": Q.q_filter_funnel,
         "dedup_rate": Q.q_dedup_rate,
         "diff_snapshots": Q.q_diff_snapshots,
+        "drop_frequent_lines": Q.q_drop_frequent_lines,
+        "dup_span_stats": Q.q_dup_span_stats,
         "validate": Q.q_validate,
     }
 
@@ -537,6 +539,45 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(CASE WHEN keep THEN ptext END, ' '
                                    ORDER BY ci), '') AS text
         FROM k GROUP BY doc_id
+        """,
+        "drop_frequent_lines": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, CAST(i AS BIGINT) AS ci,
+                     array_to_string(toks[i*5+1 : i*5+5], ' ') AS ptext
+              FROM t, UNNEST(generate_series(0,
+                       CAST(ceil(len(toks) / 5.0) AS BIGINT) - 1)) AS u(i)
+              WHERE len(toks) > 0),
+        f AS (SELECT ptext, count(*) AS n FROM p GROUP BY ptext),
+        k AS (SELECT p.doc_id, p.ci, p.ptext, f.n < 3 AS keep
+              FROM p JOIN f USING (ptext))
+        SELECT doc_id,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_dropped,
+               coalesce(string_agg(CASE WHEN keep THEN ptext END, ' '
+                                   ORDER BY ci), '') AS text
+        FROM k GROUP BY doc_id
+        """,
+        "dup_span_stats": r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+                     array_to_string(toks[i+1 : i+8], ' ') AS gtext
+              FROM t, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
+              WHERE len(toks) >= 8),
+        f AS (SELECT gtext FROM g GROUP BY gtext HAVING count(*) >= 2),
+        d AS (SELECT g.doc_id, g.s FROM g JOIN f USING (gtext)),
+        cov AS (SELECT DISTINCT d.doc_id, CAST(p AS BIGINT) AS p
+                FROM d, UNNEST(generate_series(d.s, d.s + 7)) AS u(p)),
+        nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+              FROM cov GROUP BY doc_id)
+        SELECT nt.doc_id, nt.n_tokens,
+               coalesce(c.n_dup, 0) AS n_dup_tokens,
+               round(coalesce(c.n_dup, 0)::DOUBLE / greatest(nt.n_tokens, 1),
+                     6) AS dup_frac
+        FROM nt LEFT JOIN c USING (doc_id)
         """,
         "quality_gate": r"""
         WITH s AS (SELECT doc_id, lang,

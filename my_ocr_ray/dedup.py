@@ -1428,6 +1428,26 @@ def _drop_dup_passages_join(docs_ds, drops, chunk: int,
     left-outer join the drop-key list (key-hash co-partitioned), then one
     doc_id-keyed exchange rebuilds every document per block. Value-
     identical to the broadcast path (pinned by test)."""
+
+    def owner_key(p: pa.Table) -> pa.Array:
+        return pa.array(
+            p["doc_id"].to_numpy(zero_copy_only=False) * _CI_BOUND
+            + p["ci"].to_numpy(zero_copy_only=False),
+            pa.int64(),
+        )
+
+    return _scrub_passages_join(docs_ds, drops, chunk, num_partitions,
+                                owner_key)
+
+
+def _scrub_passages_join(docs_ds, drops, chunk: int,
+                         num_partitions: int | None, keyer):
+    """Shared no-broadcast scrub: passages (keyed by ``keyer(p)`` — the
+    owner key for :func:`drop_dup_passages`, the line hash for
+    :func:`drop_frequent_lines`) left-outer join the drop-key list
+    (key-hash co-partitioned), then one doc_id-keyed exchange rebuilds
+    every document per block. ``drops`` must carry a matching ``key``
+    column. Value-identical to the broadcast paths (pinned by tests)."""
     import ray
 
     from .windows import _approx_source_rows, _hash_parts, _size_partitions
@@ -1442,16 +1462,12 @@ def _drop_dup_passages_join(docs_ds, drops, chunk: int,
 
     def keyed_passages(batch: pa.Table) -> pa.Table:
         p = _passage_rows(batch, chunk, with_text=True)
-        key = (
-            p["doc_id"].to_numpy(zero_copy_only=False) * _CI_BOUND
-            + p["ci"].to_numpy(zero_copy_only=False)
-        )
         return pa.Table.from_pydict(
             {
                 "doc_id": p["doc_id"],
                 "ci": p["ci"],
                 "ptext": p["ptext"],
-                "key": pa.array(key, pa.int64()),
+                "key": keyer(p),
             }
         )
 
@@ -1517,6 +1533,422 @@ def _drop_dup_passages_join(docs_ds, drops, chunk: int,
 
     return _hash_parts(joined, ["doc_id"], num_partitions).map_batches(
         rebuild_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def drop_frequent_lines(docs_ds, chunk: int = 5, min_count: int = 3,
+                        num_partitions: int | None = None,
+                        path: str | None = None,
+                        broadcast_threshold: int = 2_000_000):
+    """CCNet-style boilerplate-line removal -> (doc_id, n_kept, n_dropped,
+    text): split each document into consecutive ``chunk``-token lines,
+    count every line's occurrences across the WHOLE corpus, and drop ALL
+    occurrences of lines seen >= ``min_count`` times — headers, footers,
+    cookie banners. Unlike :func:`drop_dup_passages` (which keeps the
+    first owner), frequency-gated removal drops even the first copy:
+    boilerplate has no canonical owner.
+
+    Pass A ships only pre-aggregated (h, n) partials through one h-keyed
+    exchange (map-side combine: each block counts its own lines first),
+    emits the frequent-line hash set, MATERIALIZED so its exact size
+    picks the rebuild path:
+
+    - ``broadcast`` (<= ``broadcast_threshold`` keys, the common case —
+      only lines repeated >= min_count times corpus-wide qualify): hashes
+      broadcast once as a sorted bytes array; the rebuild is a second
+      pure map and document text never enters an exchange.
+    - ``join`` (pathological boilerplate mass, the fallback): lines
+      left-outer join the drop keys via :func:`_scrub_passages_join` —
+      text moves through two exchanges but never lands on the driver.
+
+    ``path`` forces one explicitly; tests pin the two paths equal."""
+    import ray
+
+    from .windows import _hash_parts
+
+    def skinny_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"h": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        p = _passage_rows(batch, chunk, with_text=False)
+        if p.num_rows == 0:
+            return empty
+        denc = p["h"].combine_chunks().dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "h": denc.dictionary,
+                "n": pa.array(
+                    np.bincount(codes, minlength=len(denc.dictionary)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def frequent(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({"key": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        denc = batch["h"].combine_chunks().dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        tot = np.bincount(
+            codes,
+            weights=batch["n"].to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        )
+        return pa.Table.from_pydict(
+            {"key": denc.dictionary.filter(pa.array(tot >= min_count))}
+        )
+
+    drops = (
+        _hash_parts(
+            docs_ds.map_batches(skinny_counts, batch_format="pyarrow"),
+            ["h"],
+            num_partitions,
+        )
+        .map_batches(frequent, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if path is None:
+        path = "join" if drops.count() > broadcast_threshold else "broadcast"
+    if path == "join":
+        return _scrub_passages_join(
+            docs_ds, drops, chunk, num_partitions,
+            lambda p: p["h"].combine_chunks(),
+        )
+    drop_keys = np.sort(
+        np.asarray(drops.unique("key"), dtype="S32")
+    )
+    drop_ref = ray.put(drop_keys)
+
+    def rebuild(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
+        dk = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+        p = _passage_rows(batch, chunk, with_text=True)
+        if p.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        doc = p["doc_id"].to_numpy(zero_copy_only=False)
+        hs = np.asarray(p["h"].to_numpy(zero_copy_only=False), dtype="S32")
+        pos = np.searchsorted(dk, hs)
+        pos = np.clip(pos, 0, max(len(dk) - 1, 0))
+        dropped = (dk[pos] == hs) if len(dk) else np.zeros(len(hs), bool)
+        keep = ~dropped
+        d_start = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        d_len = np.diff(np.append(d_start, len(doc)))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), d_start)
+        kept_text = p["ptext"].combine_chunks().filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs), kept_text), " "
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc[d_start], pa.int64()),
+                "n_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_dropped": pa.array(d_len - kept_per_doc, pa.int64()),
+                "text": joined,
+            }
+        )
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# --- exact-substring duplication (Lee et al. 2021, arXiv:2107.06499) -------
+
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd -> bijective per position
+
+
+def _gram_keys(batch: pa.Table, n: int):
+    """Rolling n-token gram keys per document -> (doc int64[], s int64[],
+    key int64[], tok_counts int64[n_docs]). ``key`` is a positional
+    polynomial over per-token md5-derived 64-bit hashes (vocabulary-
+    dictionary-encoded, so md5 runs once per DISTINCT token per block),
+    wrapped mod 2^64 and bit-viewed int64 for exchange/join friendliness.
+    Deterministic across runs/blocks; collision odds ~ m^2 / 2^64."""
+    import hashlib
+
+    from .corpus import flat_tokens
+
+    flat, rows, n_rows = flat_tokens(batch["text"])
+    tok_counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    m = len(flat) - n + 1
+    if m <= 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z, tok_counts
+    denc = (
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    ).dictionary_encode()
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    dict_h = np.array(
+        [
+            int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for t in denc.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    th = dict_h[codes]
+    acc = np.zeros(m, dtype=np.uint64)
+    w = np.uint64(1)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        for j in range(n - 1, -1, -1):
+            acc += th[j : j + m] * w
+            w = w * _GRAM_MULT
+    valid = rows[:m] == rows[n - 1 :]
+    # token position within its document
+    starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+    seg_len = np.diff(np.concatenate((starts, [len(rows)])))
+    pos0 = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, seg_len)
+    return (
+        rows[:m][valid],
+        pos0[:m][valid],
+        acc[valid].view(np.int64),
+        tok_counts,
+    )
+
+
+def _span_cover_counts(doc_row: np.ndarray, s: np.ndarray, is_dup: np.ndarray,
+                       tok_counts: np.ndarray, n: int) -> np.ndarray:
+    """Per-doc count of token positions covered by >= 1 duplicated gram
+    [s, s+n-1], via one interval-union diff array over the block's flat
+    token space (no per-doc loop). ``doc_row`` indexes into tok_counts."""
+    offs = np.concatenate(([0], np.cumsum(tok_counts))).astype(np.int64)
+    diff = np.zeros(offs[-1] + 1, dtype=np.int64)
+    ds_ = s[is_dup]
+    drow = doc_row[is_dup]
+    if len(ds_):
+        g0 = offs[drow] + ds_
+        g1 = offs[drow] + np.minimum(ds_ + n, tok_counts[drow])
+        np.add.at(diff, g0, 1)
+        np.add.at(diff, g1, -1)
+    covered = (np.cumsum(diff[:-1]) > 0).astype(np.int64)
+    if offs[-1] == 0:
+        return np.zeros(len(tok_counts), dtype=np.int64)
+    out = np.zeros(len(tok_counts), dtype=np.int64)
+    nz = tok_counts > 0
+    out[nz] = np.add.reduceat(covered, offs[:-1][nz])
+    return out
+
+
+def dup_span_stats(docs_ds, n: int = 8, num_partitions: int | None = None,
+                   path: str | None = None,
+                   broadcast_threshold: int = 5_000_000):
+    """Exact-substring duplication statistics (the suffix-array dedup of
+    Lee et al. 2021, re-expressed as rolling-gram exchanges) ->
+    (doc_id, n_tokens, n_dup_tokens, dup_frac): a token position counts
+    as duplicated when ANY n-token gram covering it occurs >= 2 times
+    corpus-wide (including twice within one document). dup_frac is the
+    interval-union coverage of duplicated grams over the token stream.
+
+    Pass A pre-aggregates gram-key counts map-side (np.unique per block)
+    and ships only skinny (key, n) partials through one key-hash
+    exchange; the duplicated-key set is MATERIALIZED and its size picks
+    pass B:
+
+    - ``broadcast``: dup keys broadcast once as a sorted int64 array;
+      coverage is a second pure map over documents (text never
+      exchanged).
+    - ``join`` (heavily duplicated corpora, the 100-TB fallback): gram
+      rows left-outer join the dup keys (key-hash co-partitioned), then
+      one doc_id-keyed exchange computes coverage per block; a sentinel
+      row per document (s = -1) keeps zero-gram docs in the output.
+
+    ``path`` forces one explicitly; tests pin the two paths equal."""
+    import ray
+
+    from .windows import _hash_parts
+
+    empty_out = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_dup_tokens": pa.array([], pa.int64()),
+            "dup_frac": pa.array([], pa.float64()),
+        }
+    )
+
+    def skinny_counts(batch: pa.Table) -> pa.Table:
+        _, _, key, _ = _gram_keys(batch, n)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dup_keys(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({"key": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        tot = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False)[order],
+            np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1]))),
+        )
+        uk = ks[np.concatenate(([True], ks[1:] != ks[:-1]))]
+        return pa.Table.from_pydict({"key": pa.array(uk[tot >= 2], pa.int64())})
+
+    dups = (
+        _hash_parts(
+            docs_ds.map_batches(skinny_counts, batch_format="pyarrow"),
+            ["key"],
+            num_partitions,
+        )
+        .map_batches(dup_keys, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if path is None:
+        path = "join" if dups.count() > broadcast_threshold else "broadcast"
+    if path == "join":
+        return _dup_span_stats_join(docs_ds, dups, n, num_partitions)
+    dk = np.sort(np.asarray(dups.unique("key"), dtype=np.int64))
+    dk_ref = ray.put(dk)
+
+    def cover(batch: pa.Table, dk_ref=dk_ref) -> pa.Table:
+        dk = ray.get(dk_ref) if isinstance(dk_ref, ray.ObjectRef) else dk_ref
+        if batch.num_rows == 0:
+            return empty_out
+        doc_row, s, key, tok_counts = _gram_keys(batch, n)
+        if len(key) and len(dk):
+            pos = np.clip(np.searchsorted(dk, key), 0, len(dk) - 1)
+            is_dup = dk[pos] == key
+        else:
+            is_dup = np.zeros(len(key), bool)
+        n_dup = _span_cover_counts(doc_row, s, is_dup, tok_counts, n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(tok_counts, pa.int64()),
+                "n_dup_tokens": pa.array(n_dup, pa.int64()),
+                "dup_frac": pa.array(
+                    round_away(
+                        n_dup / np.maximum(tok_counts, 1).astype(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(cover, batch_format="pyarrow")
+
+
+def _dup_span_stats_join(docs_ds, dups, n: int,
+                         num_partitions: int | None):
+    """The no-broadcast twin of :func:`dup_span_stats`: skinny gram rows
+    (doc_id, s, nt, key) — plus one sentinel row per document so
+    zero-gram docs survive — left-outer join the dup-key list, then one
+    doc_id-keyed exchange computes interval-union coverage per block.
+    Value-identical to the broadcast path (pinned by test)."""
+    import ray
+
+    from .windows import _approx_source_rows, _hash_parts, _size_partitions
+
+    if num_partitions is None:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = _size_partitions(_approx_source_rows(docs_ds), cpus)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_row, s, key, tok_counts = _gram_keys(batch, n)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    np.concatenate((doc[doc_row], doc)), pa.int64()
+                ),
+                "s": pa.array(
+                    np.concatenate((s, np.full(len(doc), -1, np.int64))),
+                    pa.int64(),
+                ),
+                "nt": pa.array(
+                    np.concatenate((tok_counts[doc_row], tok_counts)),
+                    pa.int64(),
+                ),
+                "key": pa.array(
+                    np.concatenate(
+                        (key, np.full(len(doc), np.iinfo(np.int64).min))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": batch["key"],
+                "dup": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    empty_out = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_dup_tokens": pa.array([], pa.int64()),
+            "dup_frac": pa.array([], pa.float64()),
+        }
+    )
+
+    grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+    marks = dups.map_batches(mark, batch_format="pyarrow")
+    nd = _nonempty(marks)
+    joined = grams.join(
+        nd if nd is not None else marks,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("key",),
+    )
+
+    def cover_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        nt = batch["nt"].to_numpy(zero_copy_only=False)
+        dup = pc.is_valid(batch["dup"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((s, doc))
+        doc, s, nt, dup = doc[order], s[order], nt[order], dup[order]
+        d_start = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        doc_row = np.repeat(
+            np.arange(len(d_start), dtype=np.int64),
+            np.diff(np.append(d_start, len(doc))),
+        )
+        tok_counts = nt[d_start]
+        is_gram = s >= 0
+        n_dup = _span_cover_counts(
+            doc_row[is_gram], s[is_gram], dup[is_gram], tok_counts, n
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc[d_start], pa.int64()),
+                "n_tokens": pa.array(tok_counts, pa.int64()),
+                "n_dup_tokens": pa.array(n_dup, pa.int64()),
+                "dup_frac": pa.array(
+                    round_away(
+                        n_dup / np.maximum(tok_counts, 1).astype(np.float64),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _hash_parts(joined, ["doc_id"], num_partitions).map_batches(
+        cover_block, batch_format="pyarrow", batch_size=None
     )
 
 

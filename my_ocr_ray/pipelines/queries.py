@@ -1904,6 +1904,28 @@ def q_drop_dup_passages(sf_dir: str):
     )
 
 
+def q_drop_frequent_lines(sf_dir: str):
+    """CCNet-style boilerplate scrub: drop every 5-token line whose
+    corpus-wide occurrence count is >= 3 (all copies, first included)."""
+    from ..dedup import drop_frequent_lines
+
+    return drop_frequent_lines(
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=16),
+        chunk=5, min_count=3,
+    )
+
+
+def q_dup_span_stats(sf_dir: str):
+    """Exact-substring duplication coverage (Lee et al. 2021): fraction
+    of each doc's tokens covered by an 8-token gram that occurs >= 2
+    times corpus-wide."""
+    from ..dedup import dup_span_stats
+
+    return dup_span_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=16), n=8
+    )
+
+
 def q_token_budget(sf_dir: str):
     """Per-source token-quota sampling (budget 400 tokens per source)."""
     from ..corpus import token_budget_sample

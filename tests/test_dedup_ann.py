@@ -796,6 +796,148 @@ def test_drop_dup_passages_join_path_equals_broadcast(ray_session):
     assert any(r[2] > 0 for r in bc)  # some passages actually dropped
 
 
+def test_drop_frequent_lines_drops_all_copies(ray_session):
+    """Frequency-gated boilerplate removal drops EVERY copy of a frequent
+    line — including the first occurrence, unlike drop_dup_passages'
+    keep-first-owner semantics."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import drop_frequent_lines
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "hdr foo a b",   # lines (chunk=2): "hdr foo", "a b"
+                    "hdr foo c d",
+                    "e f g h",
+                    "",              # empty -> no output row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = drop_frequent_lines(
+        ray.data.from_arrow(t).repartition(2), chunk=2, min_count=2
+    ).take_all()
+    got = {r["doc_id"]: (r["n_kept"], r["n_dropped"], r["text"]) for r in out}
+    assert got == {
+        1: (1, 1, "a b"),       # first copy of "hdr foo" dropped too
+        2: (1, 1, "c d"),
+        3: (2, 0, "e f g h"),
+    }
+
+
+def test_drop_frequent_lines_join_path_equals_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import drop_frequent_lines
+
+    texts = []
+    for i in range(24):
+        head = "banner one" if i % 2 == 0 else f"u{i} v{i}"
+        texts.append(head + f" body{i} tail{i}")
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(24), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def norm(rows):
+        return sorted(
+            (r["doc_id"], r["n_kept"], r["n_dropped"], r["text"]) for r in rows
+        )
+
+    bc = norm(drop_frequent_lines(ds, chunk=2, min_count=3,
+                                  path="broadcast").take_all())
+    jn = norm(drop_frequent_lines(ds, chunk=2, min_count=3,
+                                  path="join").take_all())
+    assert bc == jn
+    assert any(r[2] > 0 for r in bc)   # the banner line was dropped
+    assert any(r[2] == 0 for r in bc)  # unique docs untouched
+
+
+def test_dup_span_stats_hand_values(ray_session):
+    """Interval-union coverage of duplicated n-grams, verified by hand:
+    overlapping dup grams merge, within-doc repeats count, short and
+    empty docs emit zero-coverage rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import dup_span_stats
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",        # dup grams "a b c","b c d" -> [0,3]
+                    "x a b c d y",      # same grams at s=1,2 -> [1,4]
+                    "p q",              # < n tokens: no grams
+                    "m m m m",          # "m m m" twice WITHIN one doc
+                    "",                 # empty doc still emits a row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = dup_span_stats(
+        ray.data.from_arrow(t).repartition(2), n=3
+    ).take_all()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_frac"])
+        for r in out
+    }
+    assert got == {
+        1: (5, 4, 0.8),
+        2: (6, 4, 0.666667),
+        3: (2, 0, 0.0),
+        4: (4, 4, 1.0),
+        5: (0, 0, 0.0),
+    }
+
+
+def test_dup_span_stats_join_path_equals_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.dedup import dup_span_stats
+
+    texts = []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append(f"pre{i} shared run of five tokens post{i}")
+        elif i % 3 == 1:
+            texts.append(f"u{i} v{i} w{i} x{i} y{i} z{i}")
+        else:
+            texts.append(f"s{i} t{i}")   # shorter than n: sentinel-only
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def norm(rows):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["n_dup_tokens"], r["dup_frac"])
+            for r in rows
+        )
+
+    bc = norm(dup_span_stats(ds, n=5, path="broadcast").take_all())
+    jn = norm(dup_span_stats(ds, n=5, path="join").take_all())
+    assert bc == jn
+    assert len(bc) == 30                    # zero-gram docs survive the join
+    assert any(r[2] > 0 for r in bc)        # the shared run is flagged
+    assert any(r[1] < 5 and r[2] == 0 for r in bc)
+
+
 def test_incremental_dedup_join_path_equals_broadcast(ray_session):
     import pyarrow as pa
     import ray.data
