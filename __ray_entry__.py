@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_snapshots": Q.q_diff_snapshots,
         "drop_frequent_lines": Q.q_drop_frequent_lines,
         "dup_span_stats": Q.q_dup_span_stats,
+        "user_lag": Q.q_user_lag,
+        "zscore_source": Q.q_zscore_source,
+        "dedup_keep_best": Q.q_dedup_keep_best,
         "validate": Q.q_validate,
     }
 
@@ -578,6 +581,42 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(c.n_dup, 0)::DOUBLE / greatest(nt.n_tokens, 1),
                      6) AS dup_frac
         FROM nt LEFT JOIN c USING (doc_id)
+        """,
+        "user_lag": r"""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w - 1 AS BIGINT) AS row_idx,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us,
+               round(value - lag(value) OVER w, 2) AS value_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "zscore_source": r"""
+        WITH st AS (SELECT source, count(*) AS n,
+                           CAST(sum(n_chars) AS BIGINT) AS s,
+                           CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                    FROM documents GROUP BY source),
+        v AS (SELECT source, n, s, ss,
+                     sqrt(greatest(CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                          0.0)) AS sd
+              FROM st)
+        SELECT d.doc_id, d.source,
+               round(CASE WHEN v.sd > 0
+                          THEN (d.n_chars - CAST(v.s AS DOUBLE) / v.n) / v.sd
+                          ELSE 0.0 END, 4) AS z_chars
+        FROM documents d JOIN v USING (source)
+        """,
+        "dedup_keep_best": f"""
+        WITH f AS (SELECT doc_id, n_chars, {_FP} AS fp FROM documents),
+        r AS (SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY fp) AS n_copies
+              FROM f)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1
         """,
         "quality_gate": r"""
         WITH s AS (SELECT doc_id, lang,

@@ -665,3 +665,67 @@ def validate_table(ds, rules: dict[str, "callable"]):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def zscore_by_source(docs_ds):
+    """Per-source standardization of document length -> (doc_id, source,
+    z_chars): z = (n_chars - mean) / population-stddev within the row's
+    source, rounded 4dp; sources with zero variance get z = 0.
+
+    Scale shape: the group statistics are EXACT INTEGER sums — per-batch
+    map-side partials (count, sum(n_chars), sum(n_chars^2)) reduced by a
+    source-cardinality groupby, so both Ray and the SQL oracle derive the
+    identical doubles from identical integers (no float-association
+    drift however the blocks land). The source-count stats table is
+    broadcast into a pure map; the corpus stream is never exchanged —
+    the same stats-then-gate shape as :func:`quality_gate`."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"]
+        t = pa.Table.from_pydict(
+            {
+                "source": src,
+                "cnt": pa.array(np.ones(len(x), np.int64)),
+                "s": pa.array(x),
+                "ss": pa.array(x * x),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("cnt", "sum"), ("s", "sum"), ("ss", "sum")]
+        ).rename_columns(["source", "cnt", "s", "ss"])
+
+    stats = (
+        docs_ds.select_columns(["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("cnt"), Sum("s"), Sum("ss"))
+        .take_all()  # source-cardinality rows — driver-trivial
+    )
+    by_src = {
+        r["source"]: (int(r["sum(cnt)"]), int(r["sum(s)"]), int(r["sum(ss)"]))
+        for r in stats
+    }
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.array([by_src[s][0] for s in src], np.float64)
+        s1 = np.array([by_src[s][1] for s in src], np.float64)
+        s2 = np.array([by_src[s][2] for s in src], np.float64)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        sd = np.sqrt(np.maximum(var, 0.0))
+        z = np.where(sd > 0, (x - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "z_chars": pa.array(round_away(z, 4), pa.float64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "source", "n_chars"]).map_batches(
+        zmap, batch_format="pyarrow"
+    )

@@ -2166,3 +2166,60 @@ def pagerank(pairs_ds, num_partitions: int = 8, iters: int = 3,
         ),
         batch_format="pyarrow",
     )
+
+
+_KEEP_BEST_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("n_copies", pa.int64()),
+    ]
+)
+
+
+def dedup_keep_best(docs_ds, num_partitions: int | None = None):
+    """Exact dedup keeping the BEST representative per duplicate group ->
+    (doc_id, n_chars, n_copies): for each distinct normalized-text
+    fingerprint, the surviving row is the longest copy (max ``n_chars``,
+    ties to min ``doc_id``) rather than :func:`exact_dedup`'s min-id —
+    the curation variant that preserves the least-truncated duplicate.
+
+    Scale shape: the corpus maps to a SKINNY (fp, doc_id, n_chars) table,
+    one fp-keyed hash exchange (data-scaled), then a single lexsort +
+    first-of-run kernel per block — argmax-per-group without per-group
+    dispatch or a join back (the quality column rides the skinny
+    exchange)."""
+    from .windows import _hash_parts
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        return fingerprint_batch(batch).append_column(
+            "n_chars", pc.cast(batch["n_chars"], pa.int64())
+        )
+
+    def best_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "fp" not in block.column_names:
+            return _KEEP_BEST_SCHEMA.empty_table()
+        fp = block["fp"].to_numpy(zero_copy_only=False)
+        ids = block["doc_id"].to_numpy(zero_copy_only=False)
+        nch = block["n_chars"].to_numpy(zero_copy_only=False)
+        # within fp: longest first, then smallest id — run heads win
+        order = np.lexsort((ids, -nch, fp))
+        f, i, c = fp[order], ids[order], nch[order]
+        head = np.ones(len(f), dtype=bool)
+        if len(f) > 1:
+            head[1:] = f[1:] != f[:-1]
+        bounds = np.flatnonzero(head)
+        runs = np.diff(np.append(bounds, len(f)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(i[bounds], pa.int64()),
+                "n_chars": pa.array(c[bounds], pa.int64()),
+                "n_copies": pa.array(runs, pa.int64()),
+            }
+        )
+
+    skinny = docs_ds.map_batches(fp_partial, batch_format="pyarrow")
+    return _hash_parts(skinny, ["fp"], num_partitions).map_batches(
+        best_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )

@@ -1990,3 +1990,31 @@ def q_validate(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]),
         rules,
     )
+
+
+def q_user_lag(sf_dir: str):
+    """Row-window functions (LAG/LEAD/ROW_NUMBER) per user over events."""
+    from ..windows import user_lag
+
+    return user_lag(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def q_zscore_source(sf_dir: str):
+    """Per-source z-score of document length from exact integer
+    group sums (stats broadcast, corpus never exchanged)."""
+    from ..analysis import zscore_by_source
+
+    return zscore_by_source(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    )
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the longest copy per duplicate group."""
+    from ..dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    )

@@ -529,3 +529,83 @@ def interval_merge_salted(events_ds, time_bucket_sec: int = 86_400,
     return _hash_parts(partials, ["user_id"], num_partitions).map_batches(
         phase2, batch_format="pyarrow", batch_size=None
     )
+
+
+_LAG_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("row_idx", pa.int64()),
+        ("prev_gap_us", pa.int64()),
+        ("next_gap_us", pa.int64()),
+        ("value_delta", pa.float64()),
+    ]
+)
+
+
+def user_lag(events_ds, num_partitions: int | None = None):
+    """Row-window functions per user (LAG / LEAD / ROW_NUMBER) ->
+    (event_id, user_id, row_idx, prev_gap_us, next_gap_us, value_delta).
+
+    Within a user, rows are ordered by (event time in microseconds,
+    event_id); ``row_idx`` is the 0-based row number, ``prev_gap_us`` /
+    ``next_gap_us`` the exact integer microsecond gap to the adjacent
+    event (null at the partition edges), ``value_delta`` the change in
+    ``value`` since the previous event (null for the first row, one
+    subtraction so it is bit-identical to the SQL window twin, rounded
+    2dp). Relationally: LAG/LEAD/ROW_NUMBER OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) — the row-window family the engine's other
+    window ops (tumbling/sliding/sessionize) don't cover.
+
+    Scale shape: one user-keyed hash exchange (data-scaled partition
+    count via :func:`_hash_parts`), then a single lexsort + shifted-diff
+    kernel per block — neighbours within a user are adjacent after the
+    sort, so LAG/LEAD cost one vectorized subtraction each, with no
+    per-group Python dispatch and no second exchange."""
+    from .functions.num import round_away
+
+    def lag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "user_id" not in block.column_names:
+            return _LAG_SCHEMA.empty_table()
+        users = block["user_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(block["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eids = block["event_id"].to_numpy(zero_copy_only=False)
+        vals = block["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eids, t, users))
+        u, t, e, v = users[order], t[order], eids[order], vals[order]
+        n = len(u)
+        has_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_prev[1:] = u[1:] == u[:-1]
+        has_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_next[:-1] = has_prev[1:]
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = t[1:] - t[:-1]
+        prev_gap = gap
+        next_gap = np.concatenate((gap[1:], [0]))
+        delta = np.zeros(n, dtype=np.float64)
+        if n > 1:
+            delta[1:] = v[1:] - v[:-1]
+        starts = np.flatnonzero(~has_prev)
+        runs = np.diff(np.append(starts, n))
+        row_idx = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
+        return pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "row_idx": pa.array(row_idx, pa.int64()),
+                "prev_gap_us": pa.array(prev_gap, pa.int64(), mask=~has_prev),
+                "next_gap_us": pa.array(next_gap, pa.int64(), mask=~has_next),
+                "value_delta": pa.array(
+                    round_away(delta, 2), pa.float64(), mask=~has_prev
+                ),
+            }
+        )
+
+    return _hash_parts(events_ds, ["user_id"], num_partitions).map_batches(
+        lag_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

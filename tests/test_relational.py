@@ -287,3 +287,89 @@ def test_interval_merge_salted_equals_plain(ray_session):
     by = {(r["user_id"], r["island"]): r["n_events"] for r in plain}
     assert by[(7, 1)] == 40 and by[(7, 2)] == 1
     assert sum(1 for k in by if k[0] == 8) == 5
+
+
+def test_user_lag_hand_values(ray_session):
+    """LAG/LEAD gaps, row numbers and value deltas verified by hand,
+    including nulls at partition edges and tie-break by event_id."""
+    import ray.data
+
+    from my_ocr_ray.windows import user_lag
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: three events at t=0, 5, 5 (tie broken by event_id); user 2: one
+    rows = [
+        (10, 0, 1, 1.0),
+        (11, 5, 1, 4.5),
+        (12, 5, 1, 2.0),
+        (20, 7, 2, 9.0),
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = user_lag(ray.data.from_arrow(t).repartition(2), num_partitions=2)
+    got = {
+        r["event_id"]: (
+            r["row_idx"], r["prev_gap_us"], r["next_gap_us"], r["value_delta"]
+        )
+        for r in out.take_all()
+    }
+    m = 1_000_000
+    assert got == {
+        10: (0, None, 5 * m, None),
+        11: (1, 5 * m, 0, 3.5),
+        12: (2, 0, None, -2.5),
+        20: (0, None, None, None),
+    }
+
+
+def test_zscore_by_source_hand_values(ray_session):
+    """Exact-integer group stats: z = (x - mean)/pop_std; constant source
+    gets z = 0."""
+    import ray.data
+
+    from my_ocr_ray.analysis import zscore_by_source
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "n_chars": pa.array([10, 20, 30, 7, 7], pa.int64()),
+        }
+    )
+    out = zscore_by_source(ray.data.from_arrow(t).repartition(2)).take_all()
+    got = {r["doc_id"]: r["z_chars"] for r in out}
+    # source a: mean 20, pop std sqrt(200/3); z1 = -10/8.1649.. = -1.2247
+    assert got[1] == -1.2247 and got[2] == 0.0 and got[3] == 1.2247
+    assert got[4] == 0.0 and got[5] == 0.0  # zero variance -> 0
+
+
+def test_dedup_keep_best_hand_values(ray_session):
+    """Longest copy survives; ties to min doc_id; n_copies counted."""
+    import ray.data
+
+    from my_ocr_ray.dedup import dedup_keep_best
+
+    texts = ["a  b", "a b", "a b", "zz", "zz"]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    out = dedup_keep_best(
+        ray.data.from_arrow(t).repartition(2), num_partitions=2
+    ).take_all()
+    got = {r["doc_id"]: (r["n_chars"], r["n_copies"]) for r in out}
+    # "a  b" normalizes to "a b": doc 1 is the longest of the 3 copies;
+    # "zz" ties at len 2 -> min doc_id 4 wins
+    assert got == {1: (4, 3), 4: (2, 2)}
