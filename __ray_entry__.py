@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_frequent_lines": Q.q_drop_frequent_lines,
         "dup_span_stats": Q.q_dup_span_stats,
         "user_lag": Q.q_user_lag,
+        "dsir": Q.q_dsir,
+        "embedding_cov": Q.q_embedding_cov,
+        "pca_project": Q.q_pca_project,  # rows-only: no SQL eigensolver
         "zscore_source": Q.q_zscore_source,
         "dedup_keep_best": Q.q_dedup_keep_best,
         "validate": Q.q_validate,
@@ -581,6 +584,42 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(c.n_dup, 0)::DOUBLE / greatest(nt.n_tokens, 1),
                      6) AS dup_frac
         FROM nt LEFT JOIN c USING (doc_id)
+        """,
+        "embedding_cov": r"""
+        WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+                          CAST(embedding[i] AS DOUBLE) AS v
+                   FROM embeddings,
+                        unnest(generate_series(1, 64)) AS u(i)),
+        m AS (SELECT i, avg(v) AS mu FROM x GROUP BY i),
+        c AS (SELECT a.i AS i, b.i AS j,
+                     sum(a.v * b.v) / count(*) AS s2
+              FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i)
+        SELECT c.i - 1 AS i, c.j - 1 AS j,
+               round(c.s2 - ma.mu * mb.mu, 6) AS cov
+        FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+        """,
+        "dsir": r"""
+        WITH t AS (SELECT doc_id, lang,
+                          unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        b AS (SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+                       AS bkt
+              FROM t),
+        cnt AS (SELECT bkt, count(*) AS raw,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+                FROM b GROUP BY bkt),
+        tot AS (SELECT CAST(sum(raw) AS DOUBLE) AS rawn,
+                       CAST(sum(tgt) AS DOUBLE) AS tgtn
+                FROM cnt),
+        lr AS (SELECT bkt,
+                      ln((tgt + 1.0) / (tgtn + 1024.0))
+                        - ln((raw + 1.0) / (rawn + 1024.0)) AS w
+               FROM cnt CROSS JOIN tot),
+        s AS (SELECT b.doc_id, avg(lr.w) AS m
+              FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
+        SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS dsir_logratio
+        FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "user_lag": r"""
         SELECT event_id, user_id,

@@ -38,14 +38,17 @@ def _token_lists(text: pa.ChunkedArray):
 
 def _per_row_sum(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
     if len(flags) == 0:
-        return np.zeros(n, dtype=np.int64)
-    out = np.add.reduceat(
-        flags.astype(np.int64), np.minimum(offsets[:-1], len(flags) - 1)
+        return out
+    # reduceat over NON-EMPTY rows only: their start offsets are strictly
+    # increasing and in range, so each segment sums exactly — clamping
+    # instead would steal the last element from the final non-empty row
+    # whenever trailing rows are empty
+    nonempty = offsets[:-1] != offsets[1:]
+    out[nonempty] = np.add.reduceat(
+        flags.astype(np.int64), offsets[:-1][nonempty]
     )
-    # reduceat quirk: rows with empty ranges copy the next element; zero them
-    empty = offsets[:-1] == offsets[1:]
-    out[empty] = 0
     return out
 
 

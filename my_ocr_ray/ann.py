@@ -418,3 +418,108 @@ def knn_graph_ivf(
     return _hash_parts(probed, ["cell"], num_partitions).map_batches(
         cell_topk, batch_format="pyarrow", batch_size=None
     )
+
+
+def _cov_stats(emb_ds):
+    """One streaming pass -> (S = sum of outer products [d x d], colsum
+    [d], n): per-batch ``X.T @ X`` / column-sum partials flattened into
+    SKINNY (i, j, v) rows (d^2 + d + 1 per BATCH regardless of batch row
+    count), reduced by an (i, j)-keyed groupby to one d^2-sized table.
+    Sentinel keys carry the first-moment rows: (-1, j) = column sums,
+    (-2, -1) = row count. The corpus is never exchanged; at very large d
+    prefer fewer, larger batches (the partial cost is O(d^2) per batch)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _batch_vectors(batch).astype(np.float64)
+        n, d = X.shape
+        S = X.T @ X
+        cs = X.sum(axis=0)
+        i = np.concatenate(
+            (np.repeat(np.arange(d), d), np.full(d, -1), [-2])
+        ).astype(np.int64)
+        j = np.concatenate(
+            (np.tile(np.arange(d), d), np.arange(d), [-1])
+        ).astype(np.int64)
+        v = np.concatenate((S.ravel(), cs, [float(n)]))
+        return pa.Table.from_pydict(
+            {"i": pa.array(i), "j": pa.array(j), "v": pa.array(v)}
+        )
+
+    rows = (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v"))
+        .take_all()  # d^2 + d + 1 rows — driver-trivial for model dims
+    )
+    d = 1 + max(r["i"] for r in rows)
+    S = np.zeros((d, d))
+    cs = np.zeros(d)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -2:
+            n = r["sum(v)"]
+        elif r["i"] == -1:
+            cs[r["j"]] = r["sum(v)"]
+        else:
+            S[r["i"], r["j"]] = r["sum(v)"]
+    return S, cs, n
+
+
+def embedding_covariance(emb_ds):
+    """Population covariance of the embedding columns -> (i, j, cov):
+    cov(i, j) = E[x_i x_j] - E[x_i] E[x_j] over the whole corpus, d^2
+    rows rounded 6dp. The distributed heavy lift behind :func:`pca_project`
+    exposed as its own oracle-checkable query (the SQL twin unnests the
+    vectors and recomputes the same moments)."""
+    import ray.data
+
+    from .functions.num import round_away
+
+    S, cs, n = _cov_stats(emb_ds)
+    d = len(cs)
+    mu = cs / n
+    cov = S / n - np.outer(mu, mu)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "i": pa.array(np.repeat(np.arange(d), d), pa.int64()),
+                "j": pa.array(np.tile(np.arange(d), d), pa.int64()),
+                "cov": pa.array(round_away(cov.ravel(), 6), pa.float64()),
+            }
+        )
+    )
+
+
+def pca_project(emb_ds, n_components: int = 8):
+    """PCA compression of the embedding column -> (vec_id, pc:
+    list<double>[n_components]): project centered vectors onto the top
+    eigenvectors of the population covariance — the classic scale path
+    for shrinking ANN build cost (project once, search in d' << d dims).
+
+    The covariance comes from the one-pass skinny-moment exchange
+    (:func:`_cov_stats`); the d x d eigendecomposition runs on the driver
+    (model-dimension work, corpus-independent) and the component matrix
+    broadcasts into a pure vectorized projection map. Deterministic: each
+    eigenvector's sign is fixed so its largest-magnitude entry is
+    positive. Rows-only query (no SQL eigensolver); pinned instead by
+    variance-ordering + reconstruction-error tests."""
+    S, cs, n = _cov_stats(emb_ds)
+    mu = cs / n
+    cov = S / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    W = vecs[:, ::-1][:, :n_components]  # top components, descending var
+    flip = np.abs(W).argmax(axis=0)
+    W = W * np.where(W[flip, np.arange(W.shape[1])] < 0, -1.0, 1.0)
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = _batch_vectors(batch).astype(np.float64)
+        P = (X - mu) @ W
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"],
+                "pc": pa.array(list(P), pa.list_(pa.float64())),
+            }
+        )
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")

@@ -1533,3 +1533,90 @@ def token_budget_sample(docs_ds, budget: int = 2000, group_col: str = "source"):
     return _hash_parts(
         docs_ds.map_batches(count_rank, batch_format="pyarrow"), ["grp"]
     ).map_batches(take_within_budget, batch_format="pyarrow", batch_size=None)
+
+
+def dsir_weights(docs_ds, target_lang: str = "en", buckets: int = 1024):
+    """DSIR-style importance weights -> (doc_id, dsir_logratio): per-doc
+    mean log-likelihood ratio between a hashed-unigram model of the TARGET
+    slice (``lang == target_lang``) and one of the whole corpus — the
+    data-selection score of Xie et al. 2023 ("Data Selection for Language
+    Models via Importance Resampling"), unigram variant. Tokens hash into
+    ``buckets`` fixed buckets (60-bit md5 prefix mod ``buckets``, the
+    engine's standard SQL-parity token hash), add-one smoothing, and a
+    doc's score is mean(ln p_target(b) - ln p_raw(b)) over its token
+    buckets; token-free docs score 0.
+
+    Scale shape: pass 1 emits per-batch ``np.bincount`` partials (at most
+    ``buckets`` rows per batch REGARDLESS of corpus size) reduced by a
+    bucket-keyed groupby to one <= ``buckets``-row table; the log-ratio
+    vector (8 KB at the default) broadcasts into pass 2, a pure
+    vectorized map — the corpus is read twice and never exchanged."""
+    from ray.data.aggregate import Sum
+
+    from .functions.textproc import flat_token_hashes
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        h64, lens = flat_token_hashes(texts)
+        bkt = ((h64 >> np.uint64(4)) % np.uint64(buckets)).astype(np.int64)
+        tgt_rows = (
+            pc.equal(batch["lang"].combine_chunks(), target_lang)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        is_tgt = np.repeat(tgt_rows, lens)
+        raw = np.bincount(bkt, minlength=buckets)
+        tgt = np.bincount(bkt[is_tgt], minlength=buckets)
+        nz = np.flatnonzero(raw)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "raw": pa.array(raw[nz], pa.int64()),
+                "tgt": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.select_columns(["text", "lang"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("raw"), Sum("tgt"))
+        .take_all()  # <= `buckets` rows — driver-trivial by construction
+    )
+    raw = np.zeros(buckets, np.int64)
+    tgt = np.zeros(buckets, np.int64)
+    for r in counts:
+        raw[r["bucket"]] = r["sum(raw)"]
+        tgt[r["bucket"]] = r["sum(tgt)"]
+    raw_n, tgt_n = float(raw.sum()), float(tgt.sum())
+    lr = np.log((tgt + 1.0) / (tgt_n + buckets)) - np.log(
+        (raw + 1.0) / (raw_n + buckets)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .functions.num import round_away
+
+        texts = batch["text"].to_pylist()
+        h64, lens = flat_token_hashes(texts)
+        bkt = ((h64 >> np.uint64(4)) % np.uint64(buckets)).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        w = lr[bkt]
+        sums = np.zeros(len(lens))
+        nz = lens > 0
+        if len(w):
+            # reduceat over NON-EMPTY rows only: their offsets are strictly
+            # increasing and in range, so each segment sums left-to-right
+            # exactly (no clamp stealing the last element into a trailing
+            # empty row)
+            sums[nz] = np.add.reduceat(w, offs[nz])
+        mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "dsir_logratio": pa.array(round_away(mean, 6), pa.float64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -2018,3 +2018,32 @@ def q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     )
+
+
+def q_dsir(sf_dir: str):
+    """DSIR hashed-unigram importance weights vs the lang='en' target."""
+    from ..corpus import dsir_weights
+
+    return dsir_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    )
+
+
+def q_embedding_cov(sf_dir: str):
+    """Distributed population covariance of the embedding columns."""
+    from ..ann import embedding_covariance
+
+    return embedding_covariance(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
+def q_pca_project(sf_dir: str):
+    """PCA compression of embeddings to 8 components (rows-only: the
+    eigensolver has no SQL twin; pinned by variance/reconstruction
+    tests)."""
+    from ..ann import pca_project
+
+    return pca_project(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_components=8
+    )

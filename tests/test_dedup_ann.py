@@ -971,3 +971,103 @@ def test_incremental_dedup_join_path_equals_broadcast(ray_session):
     # doc 10 is a normalized dup of known doc 1; 11/12 dedup to 11;
     # 13 ("GAMMA" lowercased) dups known "gamma"
     assert [d for d, _ in bc] == [11]
+
+
+def test_embedding_cov_and_pca(ray_session):
+    """Distributed covariance equals numpy; PCA components are
+    variance-ordered, sign-fixed, and capture the top eigenvalues."""
+    import ray.data
+
+    from my_ocr_ray.ann import embedding_covariance, pca_project
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 6)) * np.array([5, 3, 1, 0.5, 0.2, 0.1])
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in X], pa.list_(pa.float32())
+            ),
+        }
+    )
+    Xf = X.astype(np.float32).astype(np.float64)
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    cov_rows = embedding_covariance(ds).take_all()
+    got = np.zeros((6, 6))
+    for r in cov_rows:
+        got[r["i"], r["j"]] = r["cov"]
+    want = np.cov(Xf, rowvar=False, bias=True)
+    assert np.allclose(got, want, atol=1e-5)
+
+    out = pca_project(ds, n_components=3).take_all()
+    P = np.stack([np.asarray(r["pc"]) for r in sorted(out, key=lambda r: r["vec_id"])])
+    assert P.shape == (40, 3)
+    # variance-ordered projections matching the top eigenvalues
+    vals = np.sort(np.linalg.eigvalsh(want))[::-1]
+    pvar = P.var(axis=0)
+    assert pvar[0] >= pvar[1] >= pvar[2]
+    assert np.allclose(pvar, vals[:3], rtol=1e-6)
+    # deterministic sign convention: recompute locally and compare exactly
+    evals, evecs = np.linalg.eigh(want)
+    W = evecs[:, ::-1][:, :3]
+    flip = np.abs(W).argmax(axis=0)
+    W = W * np.where(W[flip, np.arange(3)] < 0, -1.0, 1.0)
+    assert np.allclose(P, (Xf - Xf.mean(axis=0)) @ W, atol=1e-9)
+
+
+def test_dsir_weights_hand_values(ray_session):
+    """Hashed-unigram log-ratio weights match a scalar recomputation;
+    target-language docs score higher than off-target ones."""
+    import ray.data
+
+    from my_ocr_ray.corpus import dsir_weights
+    from my_ocr_ray.functions.textproc import tokenize, token_hash
+
+    texts = ["wiki words here", "wiki words", "spam spam spam", ""]
+    langs = ["en", "en", "fr", "en"]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    B = 64
+    out = dsir_weights(
+        ray.data.from_arrow(t).repartition(2), target_lang="en", buckets=B
+    ).take_all()
+    got = {r["doc_id"]: r["dsir_logratio"] for r in out}
+
+    def bkt(tok):
+        h = int.from_bytes(
+            __import__("hashlib").md5(tok.encode()).digest()[:8], "big"
+        ) >> 4
+        return h % B
+
+    raw, tgt = {}, {}
+    for txt, lg in zip(texts, langs):
+        for tok in tokenize(txt):
+            b = bkt(tok)
+            raw[b] = raw.get(b, 0) + 1
+            if lg == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    rawn, tgtn = sum(raw.values()), sum(tgt.values())
+    import math
+
+    def score(txt):
+        toks = tokenize(txt)
+        if not toks:
+            return 0.0
+        s = sum(
+            math.log((tgt.get(bkt(tok), 0) + 1) / (tgtn + B))
+            - math.log((raw.get(bkt(tok), 0) + 1) / (rawn + B))
+            for tok in toks
+        )
+        return s / len(toks)
+
+    from my_ocr_ray.functions.num import round_away_scalar
+
+    for i, txt in enumerate(texts, start=1):
+        assert got[i] == round_away_scalar(score(txt), 6), (i, got[i])
+    assert got[1] > got[3]  # en doc beats off-target doc

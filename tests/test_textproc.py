@@ -180,3 +180,22 @@ def test_redact_pii_duckdb_parity_on_pii_laden_text():
         "SELECT doc_id, text, n AS n_redactions FROM (" + inner + ") ORDER BY doc_id"
     ).fetchall()
     assert [(r["doc_id"], r["text"], r["n_redactions"]) for r in mine] == want
+
+
+def test_per_row_sum_trailing_empty_rows():
+    """Trailing zero-length rows must not steal the last element from the
+    final non-empty row (reduceat clamp regression)."""
+    import numpy as np
+
+    from my_ocr_ray.analysis import _per_row_sum
+
+    flags = np.array([1, 1, 1])
+    offsets = np.array([0, 3, 3])  # row0 has 3 elements, row1 empty
+    assert _per_row_sum(flags, offsets).tolist() == [3, 0]
+    # interior empty row
+    assert _per_row_sum(
+        np.array([1, 2, 4]), np.array([0, 2, 2, 3])
+    ).tolist() == [3, 0, 4]
+    # all empty
+    assert _per_row_sum(np.array([], dtype=np.int64),
+                        np.array([0, 0, 0])).tolist() == [0, 0]
