@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": Q.q_pca_project,  # rows-only: no SQL eigensolver
         "zscore_source": Q.q_zscore_source,
         "dedup_keep_best": Q.q_dedup_keep_best,
+        "normalize_text": Q.q_normalize_text,
+        "user_retention": Q.q_user_retention,
         "validate": Q.q_validate,
     }
 
@@ -620,6 +622,25 @@ def oracle_sql() -> dict[str, str]:
               FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS dsir_logratio
         FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "normalize_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                 AS text_norm,
+               CAST(CASE WHEN
+                 trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                   <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
+        FROM documents
+        """,
+        "user_retention": r"""
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 1000000 // 86400 AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY f.cohort_day, offset_days
         """,
         "user_lag": r"""
         SELECT event_id, user_id,

@@ -732,3 +732,47 @@ def zscore_by_source(docs_ds):
     return docs_ds.select_columns(["doc_id", "source", "n_chars"]).map_batches(
         zmap, batch_format="pyarrow"
     )
+
+
+def normalize_text(docs_ds):
+    """Canonical text cleanup -> (doc_id, text_norm, changed): Unicode NFC
+    normalization, whitespace runs collapsed to single spaces, edges
+    trimmed; ``changed`` = 1 when the cleanup altered the text. The
+    canonicalization pass every web-scale corpus runs before hashing /
+    dedup (the fingerprint kernels assume collapsed whitespace).
+
+    Map-side only — zero exchanges, trivially resumable. The whitespace
+    pass is one Arrow regex kernel; NFC runs via ``unicodedata`` on the
+    NON-ASCII rows only (this build's ``pc.utf8_normalize`` decomposes
+    regardless of the requested form, so it can't be used), selected by a
+    vectorized ASCII mask — on ASCII-dominant web corpora the Python
+    branch touches a small fraction of rows."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        orig = batch["text"].combine_chunks()
+        text = orig
+        non_ascii = pc.greater(
+            pc.count_substring_regex(text, r"[^\x00-\x7F]"), 0
+        ).to_numpy(zero_copy_only=False)
+        if non_ascii.any():
+            vals = text.to_pylist()
+            idx = np.flatnonzero(non_ascii)
+            for k in idx:
+                vals[k] = unicodedata.normalize("NFC", vals[k])
+            text = pa.array(vals, pa.string())
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(text, r"\s+", " ")
+        )
+        changed = pc.cast(pc.not_equal(out, orig), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "text_norm": out,
+                "changed": changed,
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )

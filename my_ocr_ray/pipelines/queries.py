@@ -2047,3 +2047,17 @@ def q_pca_project(sf_dir: str):
     return pca_project(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_components=8
     )
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace canonicalization (pure map-side)."""
+    from ..analysis import normalize_text
+
+    return normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention triangle over events (distinct user-days)."""
+    from ..windows import user_retention
+
+    return user_retention(_read(sf_dir, "events", ["user_id", "ts"]))

@@ -609,3 +609,81 @@ def user_lag(events_ds, num_partitions: int | None = None):
     return _hash_parts(events_ds, ["user_id"], num_partitions).map_batches(
         lag_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+_RETENTION_SCHEMA = pa.schema(
+    [
+        ("cohort_day", pa.int64()),
+        ("offset_days", pa.int64()),
+    ]
+)
+
+
+def user_retention(events_ds, num_partitions: int | None = None):
+    """Cohort retention -> (cohort_day, offset_days, n_users): users are
+    cohorted by the UTC day of their first event; each (cohort, day-offset)
+    cell counts the distinct users from that cohort active that day — the
+    standard retention-triangle input.
+
+    Scale shape: events reduce map-side to distinct (user, day) pairs per
+    batch BEFORE the exchange (bounded by users x active-days, far below
+    event count), one user-keyed hash exchange co-locates each user, a
+    lexsort kernel emits (cohort, offset) pairs, and the final groupby
+    counts over a cohort x horizon bounded key space."""
+    from ray.data.aggregate import Count
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        days = _epoch_seconds(batch["ts"]) // 86_400
+        key = np.stack((users, days), axis=1)
+        uniq = np.unique(key, axis=0) if len(key) else key
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "day": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    def offsets_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "user_id" not in block.column_names:
+            return _RETENTION_SCHEMA.empty_table()
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        d = block["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # drop (user, day) dupes that straddled source batches
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        new_user = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        runs = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(d[starts], runs)  # first day is min (sorted)
+        return pa.Table.from_pydict(
+            {
+                "cohort_day": pa.array(cohort, pa.int64()),
+                "offset_days": pa.array(d - cohort, pa.int64()),
+            }
+        )
+
+    pairs = events_ds.map_batches(day_pairs, batch_format="pyarrow")
+    cells = _hash_parts(pairs, ["user_id"], num_partitions).map_batches(
+        offsets_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    agg = cells.groupby(["cohort_day", "offset_days"]).aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["cohort_day"],
+                batch["offset_days"],
+                pc.cast(batch["count()"], pa.int64()),
+            ],
+            names=["cohort_day", "offset_days", "n_users"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -373,3 +373,59 @@ def test_dedup_keep_best_hand_values(ray_session):
     # "a  b" normalizes to "a b": doc 1 is the longest of the 3 copies;
     # "zz" ties at len 2 -> min doc_id 4 wins
     assert got == {1: (4, 3), 4: (2, 2)}
+
+
+def test_user_retention_hand_values(ray_session):
+    """Cohorting by first day; distinct user-days; counts by hand."""
+    import ray.data
+
+    from my_ocr_ray.windows import user_retention
+
+    base = dt.datetime(2024, 1, 1)
+    day = 86_400
+    # user 1: days 0, 0 (dup), 1, 3; user 2: days 1, 2 -> cohort 1
+    rows = [(1, 0), (1, 10), (1, day), (1, 3 * day), (2, day), (2, 2 * day)]
+    t = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = user_retention(
+        ray.data.from_arrow(t).repartition(3), num_partitions=2
+    ).take_all()
+    d0 = int(base.timestamp()) // day
+    got = {(r["cohort_day"], r["offset_days"]): r["n_users"] for r in out}
+    assert got == {
+        (d0, 0): 1, (d0, 1): 1, (d0, 3): 1,          # user 1
+        (d0 + 1, 0): 1, (d0 + 1, 1): 1,              # user 2
+    }
+
+
+def test_normalize_text_nfc_and_whitespace(ray_session):
+    """NFC composition, whitespace collapse, trim, changed flag."""
+    import ray.data
+
+    from my_ocr_ray.analysis import normalize_text
+
+    import unicodedata
+
+    decomposed = unicodedata.normalize("NFD", "caf\u00e9")
+    assert len(decomposed) == 5  # e + combining acute
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [decomposed + "  x\t y ", "already clean", "a\nb"],
+                pa.string(),
+            ),
+        }
+    )
+    out = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in normalize_text(ray.data.from_arrow(t)).take_all()}
+    assert out[1] == ("caf\u00e9 x y", 1)
+    assert out[2] == ("already clean", 0)
+    assert out[3] == ("a b", 1)
