@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": Q.q_dedup_keep_best,
         "normalize_text": Q.q_normalize_text,
         "user_retention": Q.q_user_retention,
+        "user_event_seq": Q.q_user_event_seq,
+        "fuzzy_decontaminate": Q.q_fuzzy_decontaminate,
+        "pq_topk": Q.q_pq_topk,  # rows-only: approximate PQ scores
         "validate": Q.q_validate,
     }
 
@@ -632,6 +635,12 @@ def oracle_sql() -> dict[str, str]:
                    <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
         """,
+        "user_event_seq": r"""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, ','
+                          ORDER BY epoch_us(ts), event_id) AS seq
+        FROM events GROUP BY user_id
+        """,
         "user_retention": r"""
         WITH d AS (SELECT DISTINCT user_id,
                           epoch_us(ts) // 1000000 // 86400 AS day
@@ -719,6 +728,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _SIGS_CTE
         + "SELECT doc_id, sig0, sig1, sig2, sig3 FROM sigs",
+        "fuzzy_decontaminate": _SIGS_CTE
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band0,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band1
+          FROM sigs),
+        ev AS (SELECT DISTINCT band FROM (
+                 SELECT band0 AS band FROM bands WHERE doc_id % 97 = 0
+                 UNION ALL
+                 SELECT band1 AS band FROM bands WHERE doc_id % 97 = 0))
+        SELECT doc_id,
+               CAST((CASE WHEN band0 IN (SELECT band FROM ev)
+                          THEN 1 ELSE 0 END)
+                    + (CASE WHEN band1 IN (SELECT band FROM ev)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_band_hits,
+               (band0 IN (SELECT band FROM ev)
+                OR band1 IN (SELECT band FROM ev)) AS fuzzy_contaminated
+        FROM bands WHERE doc_id % 97 <> 0
+        """,
         "lsh_pairs": _SIGS_CTE
         + f""",
         bands AS (

@@ -523,3 +523,183 @@ def pca_project(emb_ds, n_components: int = 8):
         )
 
     return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+def train_pq_codebooks(
+    emb_ds, m: int = 8, ksub: int = 16, n_iters: int = 5
+):
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): unit-normalized vectors
+    split into ``m`` contiguous subspaces, k-means with ``ksub`` centroids
+    per subspace -> float64 array (m, ksub, d/m).
+
+    ALL subspaces train in the SAME streaming pass per iteration: each
+    batch assigns every subvector to its nearest sub-centroid and emits
+    (subspace*ksub + cell, vsum, n) partial rows — at most m x ksub rows
+    per batch regardless of batch size — reduced by one tiny groupby.
+    Same shape as :func:`train_ivf_centroids`; the corpus is never
+    exchanged. Init is the first ``ksub`` rows' subvectors
+    (deterministic); empty cells keep their previous centroid."""
+    import ray
+
+    seed = emb_ds.limit(ksub).take_all()
+    X0 = _unit(np.stack([np.asarray(r["embedding"]) for r in seed]).astype(
+        np.float64
+    ))
+    d = X0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = X0[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    def assign_cells(X, bks):
+        """(n, d) -> (n, m) nearest sub-centroid per subspace."""
+        n = X.shape[0]
+        Xs = X.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            c = bks[s]  # (ksub, dsub)
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
+            codes[:, s] = d2.argmin(axis=1)
+        return codes
+
+    for _ in range(n_iters):
+        bref = ray.put(books)
+
+        def partial(batch: pa.Table, _b=bref) -> pa.Table:
+            bks = ray.get(_b)
+            X = _unit(_batch_vectors(batch).astype(np.float64))
+            n = X.shape[0]
+            codes = assign_cells(X, bks)
+            Xs = X.reshape(n, m, dsub)
+            keys, vsums, ns = [], [], []
+            for s in range(m):
+                uniq, inv = np.unique(codes[:, s], return_inverse=True)
+                sums = np.zeros((len(uniq), dsub))
+                np.add.at(sums, inv, Xs[:, s, :])
+                cnt = np.bincount(inv)
+                keys.extend((s * ksub + uniq).tolist())
+                vsums.extend(list(v) for v in sums)
+                ns.extend(cnt.tolist())
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(keys, pa.int64()),
+                    "vsum": pa.array(vsums, pa.list_(pa.float64())),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
+
+        def merge(group: pa.Table) -> pa.Table:
+            cells = group["cell"].to_numpy(zero_copy_only=False)
+            sums = np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in group["vsum"].to_pylist()]
+            )
+            ns = group["n"].to_numpy(zero_copy_only=False)
+            out_c, out_v, out_n = [], [], []
+            for c in np.unique(cells):
+                msk = cells == c
+                out_c.append(int(c))
+                out_v.append(list(sums[msk].sum(axis=0)))
+                out_n.append(int(ns[msk].sum()))
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(out_c, pa.int64()),
+                    "vsum": pa.array(out_v, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        rows = (
+            emb_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(merge, batch_format="pyarrow")
+            .take_all()  # <= m*ksub tiny rows
+        )
+        new = books.copy()
+        for r in rows:
+            s, c = divmod(r["cell"], ksub)
+            new[s, c] = np.asarray(r["vsum"], dtype=np.float64) / max(
+                r["n"], 1
+            )
+        books = new
+    return books
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray):
+    """-> (vec_id, code: list<uint8>[m]): each unit-normalized vector
+    compressed to its per-subspace nearest-centroid indices — d floats
+    shrink to m bytes (32x at d=64/m=8), the memory lever that lets a
+    100-TB embedding corpus fit an in-RAM ANN index. Codebooks broadcast;
+    pure vectorized map."""
+    m, ksub, dsub = codebooks.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        X = _unit(_batch_vectors(batch).astype(np.float64))
+        n = X.shape[0]
+        Xs = X.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for s in range(m):
+            c = codebooks[s]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"],
+                "code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(emb_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
+    """Asymmetric-distance top-k over PQ codes -> (query_id, rank,
+    vec_id, sim): queries stay exact, corpus vectors are scored from
+    their codes via a per-query lookup table (LUT[s, c] = q_s . C[s, c]),
+    so each batch costs one (n x m) gather + row-sum instead of an
+    (n x d) matmul. Same partial-top-k -> grouped final-top-k shape as
+    :func:`brute_force_topk`; rows-only (approximate scores), recall
+    pinned against the exact twin in tests."""
+    import ray
+
+    m, ksub, dsub = codebooks.shape
+    q = ray.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+    qids = np.asarray(q["qids"], dtype=np.int64)
+    qmat = _unit(np.asarray(q["vectors"], dtype=np.float64))
+    nq = len(qids)
+    # LUT: (nq, m, ksub) — query subvector dot every sub-centroid
+    lut = np.einsum("qsd,scd->qsc", qmat.reshape(nq, m, dsub), codebooks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _unit(_batch_vectors(batch).astype(np.float64))
+        n = X.shape[0]
+        Xs = X.reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            c = codebooks[s]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
+            codes[:, s] = d2.argmin(axis=1)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # sims[q, i] = sum_s lut[q, s, codes[i, s]]
+        sims = lut[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, n)
+        kk = min(k, n)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_id.extend(ids[order])
+            out_sim.extend(sims[qi][order])
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_final_topk_factory(k), batch_format="pyarrow")
+    )

@@ -2223,3 +2223,56 @@ def dedup_keep_best(docs_ds, num_partitions: int | None = None):
         best_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
+
+
+def fuzzy_decontaminate(
+    docs_ds, eval_mod: int = 97, num_hashes: int = 4, band_size: int = 2,
+    k: int = 3,
+):
+    """NEAR-duplicate decontamination -> (doc_id, n_band_hits,
+    fuzzy_contaminated) for every training doc: flags docs whose MinHash
+    LSH band collides with any band of the held-out eval slice
+    (``doc_id % eval_mod == 0``) — catching lightly-edited eval leaks the
+    exact n-gram pass (:func:`my_ocr_ray.corpus.decontaminate`) misses.
+    ``n_band_hits`` counts the doc's band positions that land in the eval
+    band set.
+
+    Scale shape: the eval slice is small BY CONSTRUCTION (benchmark
+    suites, not corpora), so its distinct band keys collect to a sorted
+    array broadcast once via ``ray.put``; the training scan is one
+    vectorized pass (signature matrix + ``np.isin``) — no exchange at
+    all, the broadcast-small-side pattern of the exact twin."""
+    import ray
+
+    def eval_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod == 0))
+        rows = _band_rows(sub, num_hashes, band_size, k)
+        return pa.Table.from_pydict(
+            {"band": pc.unique(rows["band"].combine_chunks())}
+        )
+
+    ev = (
+        docs_ds.map_batches(eval_band_rows, batch_format="pyarrow")
+        .unique("band")
+    )
+    ev_ref = ray.put(np.sort(np.asarray(ev, dtype=np.int64)))
+
+    def score(batch: pa.Table, _ev=ev_ref) -> pa.Table:
+        ev_bands = ray.get(_ev) if isinstance(_ev, ray.ObjectRef) else _ev
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod != 0))
+        sigs = minhash_sigs_matrix(
+            sub["text"].to_pylist(), num_hashes=num_hashes, k=k
+        )
+        bands = lsh_band_matrix(sigs, band_size=band_size)
+        hits = np.isin(bands, ev_bands).sum(axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": sub["doc_id"],
+                "n_band_hits": pa.array(hits, pa.int64()),
+                "fuzzy_contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

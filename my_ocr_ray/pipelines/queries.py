@@ -2061,3 +2061,33 @@ def q_user_retention(sf_dir: str):
     from ..windows import user_retention
 
     return user_retention(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_user_event_seq(sf_dir: str):
+    """Per-user time-ordered event-type sequence (string_agg twin)."""
+    from ..windows import user_event_seq
+
+    return user_event_seq(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )
+
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """LSH-band near-dup decontamination vs the doc_id%97 eval slice."""
+    from ..dedup import fuzzy_decontaminate
+
+    return fuzzy_decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (rows-only: approximate scores;
+    recall pinned vs brute force in tests). Trains the codebooks with
+    the streaming k-means pass, then searches via per-query LUTs."""
+    import ray
+
+    from ..ann import pq_topk, train_pq_codebooks
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=3)
+    qref = ray.put(_query_vectors(sf_dir))
+    return pq_topk(emb, qref, books, k=5)

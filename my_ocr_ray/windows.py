@@ -687,3 +687,61 @@ def user_retention(events_ds, num_partitions: int | None = None):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+_SEQ_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("seq", pa.string()),
+    ]
+)
+
+
+def user_event_seq(events_ds, num_partitions: int | None = None):
+    """Per-user time-ordered event-type sequence -> (user_id, n_events,
+    seq): event types joined by ',' in (ts, event_id) order — the
+    collect-list/string_agg shape that turns an event log into per-entity
+    training sequences (the relational analog of the reference's
+    offset-ordered span reassembly).
+
+    Scale shape: one user-keyed hash exchange of (user_id, ts, event_id,
+    event_type), then a per-block lexsort + offset-sliced join — the
+    Arrow binary-join kernel concatenates each run without a Python loop
+    over users. Pathological users produce long strings, not quadratic
+    work; cap sequence length upstream if entities can be unbounded."""
+
+    def seq_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "user_id" not in block.column_names:
+            return _SEQ_SCHEMA.empty_table()
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(block["ts"].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = block["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u = u[order]
+        types = block["event_type"].combine_chunks().take(pa.array(order))
+        new_user = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new_user[1:] = u[1:] != u[:-1]
+        bounds = np.flatnonzero(new_user)
+        runs = np.diff(np.append(bounds, len(u)))
+        # per-run join via a ListArray view over the sorted values
+        offsets = pa.array(
+            np.concatenate((bounds, [len(u)])).astype(np.int32)
+        )
+        lists = pa.ListArray.from_arrays(offsets, types)
+        seqs = pc.binary_join(lists, ",")
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[bounds], pa.int64()),
+                "n_events": pa.array(runs, pa.int64()),
+                "seq": seqs,
+            }
+        )
+
+    return _hash_parts(events_ds, ["user_id"], num_partitions).map_batches(
+        seq_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )

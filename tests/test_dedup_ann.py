@@ -1071,3 +1071,60 @@ def test_dsir_weights_hand_values(ray_session):
     for i, txt in enumerate(texts, start=1):
         assert got[i] == round_away_scalar(score(txt), 6), (i, got[i])
     assert got[1] > got[3]  # en doc beats off-target doc
+
+
+def test_pq_recall_and_determinism(ray_session):
+    """PQ ADC top-k recalls most of the exact top-k on clustered data;
+    codes are deterministic across runs; codebook shapes correct."""
+    import ray
+    import ray.data
+
+    from my_ocr_ray.ann import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 32)) * 4
+    X = np.concatenate(
+        [centers[i % 6] + rng.normal(size=32) * 0.3 for i in range(240)]
+    ).reshape(240, 32)
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(240), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in X], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    books = train_pq_codebooks(ds, m=4, ksub=8, n_iters=4)
+    assert books.shape == (4, 8, 8)
+
+    codes1 = {r["vec_id"]: bytes(r["code"])
+              for r in pq_encode(ds, books).take_all()}
+    codes2 = {r["vec_id"]: bytes(r["code"])
+              for r in pq_encode(ds, books).take_all()}
+    assert codes1 == codes2 and len(codes1) == 240
+    assert all(len(c) == 4 for c in codes1.values())
+
+    q = {"qids": np.array([0, 7, 100]), "vectors": X[[0, 7, 100]]}
+    qref = ray.put(q)
+    exact = brute_force_topk(ds, qref, k=5).take_all()
+    approx = pq_topk(ds, qref, books, k=5).take_all()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # 32 floats -> 4 bytes collapses within-cluster distances, so exact
+    # rank order inside a cluster is not preserved — the property ADC
+    # must keep is CLUSTER consistency: every approximate neighbor comes
+    # from the query's own cluster (labels are i % 6 by construction)
+    for qid, ids in ap.items():
+        assert all(v % 6 == qid % 6 for v in ids), (qid, ids)
+    recalls = [len(ex[k_] & ap[k_]) / 5 for k_ in ex]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
