@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_seq": Q.q_user_event_seq,
         "fuzzy_decontaminate": Q.q_fuzzy_decontaminate,
         "pq_topk": Q.q_pq_topk,  # rows-only: approximate PQ scores
+        "q3_shipping": Q.q_q3_shipping,
         "validate": Q.q_validate,
     }
 
@@ -634,6 +635,21 @@ def oracle_sql() -> dict[str, str]:
                  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
                    <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
+        """,
+        "q3_shipping": r"""
+        SELECT l.l_orderkey,
+               epoch_us(o.o_orderdate) // 1000000 AS o_orderdate_s,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey, o_orderdate_s
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
         """,
         "user_event_seq": r"""
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

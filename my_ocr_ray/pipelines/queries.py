@@ -2091,3 +2091,38 @@ def q_pq_topk(sf_dir: str):
     books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=3)
     qref = ray.put(_query_vectors(sf_dir))
     return pq_topk(emb, qref, books, k=5)
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H-Q3-shaped join: pushdown reads, bloom-pruned probe,
+    partial-agg shuffle join; BUILDING segment, 1998-06-01 cutoff."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ..relational import shipping_revenue
+
+    cutoff = _dt.datetime(1998, 6, 1)
+    cutoff_us = int(
+        cutoff.replace(tzinfo=_dt.timezone.utc).timestamp()
+    ) * 1_000_000  # parquet timestamps are naive-UTC; keep the kernel's
+    # re-check identical to the pushdown predicate regardless of host TZ
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", "BUILDING")],
+    )
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=pds.field("o_orderdate") < cutoff,
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=pds.field("l_shipdate") > cutoff,
+    )
+    return shipping_revenue(
+        lineitem, orders, cust["c_custkey"].to_numpy(), cutoff_us, topn=10
+    )

@@ -242,3 +242,142 @@ def broadcast_semi_anti_join(ds, key: str, build_keys_ds, build_key: str,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 keys — the cheap internal hash for
+    Bloom probes (build and probe share it; nothing external sees it)."""
+    z = x.astype(np.uint64, copy=True)
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def shipping_revenue(
+    lineitem_ds, orders_ds, cust_keys: np.ndarray, cutoff_us: int,
+    topn: int = 10, join_num_partitions: int | None = None,
+):
+    """TPC-H-Q3-shaped three-table join -> (l_orderkey, o_orderdate_s,
+    revenue): top-``topn`` unshipped-revenue orders for one customer
+    segment — revenue = sum(l_extendedprice * (1 - l_discount)) over
+    lineitems shipped AFTER the cutoff, for orders placed BEFORE it by the
+    given customers; ordered by revenue desc (ties to orderkey).
+
+    Scale shape (the three 100-TB join levers in one pipeline):
+    1. PREDICATE PUSHDOWN: callers read orders/lineitem with the date
+       predicates in the parquet scan, so non-qualifying row groups never
+       leave storage.
+    2. BLOOM-PRUNED PROBE: qualifying orderkeys fold into per-block Bloom
+       partials OR-merged on the driver (fixed bytes regardless of row
+       count) and broadcast; lineitem rows drop BEFORE the exchange —
+       false positives only pass dead rows to the exact join, never wrong
+       results.
+    3. PARTIAL-AGG BEFORE EXCHANGE: each lineitem block pre-sums revenue
+       per orderkey, so the shuffle join carries one row per (block,
+       orderkey), then the orderkey-keyed ``Dataset.join`` against the
+       skinny qualifying-orders table is exact.
+
+    The customer side is a sorted-key broadcast (smallest table). Output
+    dates are epoch seconds (int64) for SQL parity."""
+    import ray
+
+    from .windows import _approx_source_rows
+    from .functions.num import round_away
+
+    ck_ref = ray.put(np.sort(np.asarray(cust_keys, dtype=np.int64)))
+
+    def orders_skinny(batch: pa.Table) -> pa.Table:
+        cks = ray.get(ck_ref) if isinstance(ck_ref, ray.ObjectRef) else ck_ref
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        oc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(
+            batch["o_orderdate"].combine_chunks(), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cks, oc)
+        pos = np.minimum(pos, len(cks) - 1)
+        keep = (cks[pos] == oc) & (od < cutoff_us)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "o_orderdate_s": pa.array(od[keep] // 1_000_000, pa.int64()),
+            }
+        )
+
+    orders_q = orders_ds.map_batches(orders_skinny, batch_format="pyarrow")
+
+    # distributed Bloom build: per-block partial filters, OR-merged on the
+    # driver — bytes are fixed by the (pre-filter) row estimate, not data
+    from .corpus import BloomFilter
+
+    est = _approx_source_rows(orders_ds) or 1_000_000
+    proto = BloomFilter(est, bits_per_item=16, k=7)
+    n_bits, k_hashes = proto.n_bits, proto.k
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(1, bits_per_item=1, k=k_hashes)
+        bf.n_bits = n_bits
+        bf.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        bf.add_many(_mix64(keys.astype(np.uint64)))
+        return pa.Table.from_pydict({"bits": pa.array([bf.bits.tobytes()])})
+
+    merged = proto
+    for r in orders_q.map_batches(bloom_partial, batch_format="pyarrow").take_all():
+        merged.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref) if isinstance(
+            bloom_ref, ray.ObjectRef
+        ) else bloom_ref
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        hit = bf.contains_many(_mix64(lk.astype(np.uint64)))
+        lk, rev = lk[hit], (ep * (1.0 - dc))[hit]
+        uniq, inv = np.unique(lk, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, rev)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "rev": pa.array(sums, pa.float64()),
+            }
+        )
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = li.join(
+        orders_q,
+        join_type="inner",
+        num_partitions=join_num_partitions or 8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate_s"]).aggregate(Sum("rev"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "o_orderdate_s": batch["o_orderdate_s"],
+                "revenue": pa.array(
+                    round_away(
+                        batch["sum(rev)"].to_numpy(zero_copy_only=False), 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(topn)
+    )

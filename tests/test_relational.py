@@ -429,3 +429,49 @@ def test_normalize_text_nfc_and_whitespace(ray_session):
     assert out[1] == ("caf\u00e9 x y", 1)
     assert out[2] == ("already clean", 0)
     assert out[3] == ("a b", 1)
+
+
+def test_shipping_revenue_hand_values(ray_session):
+    """Bloom-pruned 3-table join: segment filter, date predicates,
+    revenue aggregation and top-n ordering verified by hand."""
+    import ray.data
+
+    from my_ocr_ray.relational import shipping_revenue
+
+    cutoff = dt.datetime(2000, 1, 1)
+    cutoff_us = int(
+        cutoff.replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    before = dt.datetime(1999, 6, 1)
+    after = dt.datetime(2000, 6, 1)
+    orders = pa.Table.from_pydict(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([10, 10, 20, 10], pa.int64()),
+            # order 4 is after the cutoff; order 3 is the wrong customer
+            "o_orderdate": pa.array(
+                [before, before, before, after], pa.timestamp("us")
+            ),
+        }
+    )
+    lineitem = pa.Table.from_pydict(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "l_extendedprice": pa.array(
+                [100.0, 50.0, 200.0, 999.0, 999.0], pa.float64()
+            ),
+            "l_discount": pa.array([0.1, 0.0, 0.5, 0.0, 0.0], pa.float64()),
+        }
+    )
+    out = shipping_revenue(
+        ray.data.from_arrow(lineitem).repartition(2),
+        ray.data.from_arrow(orders).repartition(2),
+        cust_keys=np.array([10]),
+        cutoff_us=cutoff_us,
+        topn=10,
+        join_num_partitions=2,
+    ).take_all()
+    got = [(r["l_orderkey"], r["o_orderdate_s"], r["revenue"]) for r in out]
+    b = int(before.replace(tzinfo=dt.timezone.utc).timestamp())
+    # order1: 100*0.9 + 50 = 140; order2: 200*0.5 = 100; 3 and 4 excluded
+    assert got == [(1, b, 140.0), (2, b, 100.0)]
