@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": Q.q_fuzzy_decontaminate,
         "pq_topk": Q.q_pq_topk,  # rows-only: approximate PQ scores
         "q3_shipping": Q.q_q3_shipping,
+        "active_users": Q.q_active_users,
         "validate": Q.q_validate,
     }
 
@@ -635,6 +636,18 @@ def oracle_sql() -> dict[str, str]:
                  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
                    <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
+        """,
+        "active_users": r"""
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 1000000 // 86400 AS day
+                   FROM events),
+        f AS (SELECT user_id, day + i AS end_day,
+                     max(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS is_dau
+              FROM d, unnest(generate_series(0, 6)) AS u(i)
+              GROUP BY user_id, end_day)
+        SELECT end_day AS day, CAST(sum(is_dau) AS BIGINT) AS dau,
+               CAST(count(*) AS BIGINT) AS wau
+        FROM f GROUP BY end_day
         """,
         "q3_shipping": r"""
         SELECT l.l_orderkey,

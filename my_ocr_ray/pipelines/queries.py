@@ -2126,3 +2126,10 @@ def q_q3_shipping(sf_dir: str):
     return shipping_revenue(
         lineitem, orders, cust["c_custkey"].to_numpy(), cutoff_us, topn=10
     )
+
+
+def q_active_users(sf_dir: str):
+    """DAU/WAU rolling-distinct counts over events."""
+    from ..windows import active_users
+
+    return active_users(_read(sf_dir, "events", ["user_id", "ts"]))

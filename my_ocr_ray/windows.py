@@ -745,3 +745,86 @@ def user_event_seq(events_ds, num_partitions: int | None = None):
         seq_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
+
+
+def active_users(events_ds, window_days: int = 7,
+                 num_partitions: int | None = None):
+    """Daily + trailing-window active users -> (day, dau, wau): distinct
+    users active each day, and distinct users active in the
+    ``window_days`` window ENDING that day (the DAU/WAU pair; WAU windows
+    are evaluated on every day that has events).
+
+    Scale shape: events reduce map-side to distinct (user, day) pairs;
+    ONE user-keyed hash exchange co-locates each user's days, so the
+    window fan-out (x ``window_days``), the per-(user, window-end) dedup
+    (a user active on several days of one window counts ONCE) and the
+    per-day partial counts are all block-local; the only other exchange
+    is a groupby over (end_day) partial rows — bounded by days x blocks,
+    not users. Exact distinct counting with no count-distinct shuffle
+    state."""
+    from ray.data.aggregate import Sum
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        days = _epoch_seconds(batch["ts"]) // 86_400
+        key = np.stack((users, days), axis=1)
+        uniq = np.unique(key, axis=0) if len(key) else key
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "day": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    def window_partials(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "user_id" not in block.column_names:
+            return pa.schema(
+                [("end_day", pa.int64()), ("dau_p", pa.int64()),
+                 ("wau_p", pa.int64())]
+            ).empty_table()
+        u = block["user_id"].to_numpy(zero_copy_only=False)
+        d = block["day"].to_numpy(zero_copy_only=False)
+        offs = np.arange(window_days, dtype=np.int64)
+        n = len(u)
+        uu = np.repeat(u, window_days)
+        ee = (d[:, None] + offs[None, :]).ravel()
+        dau = np.tile(offs == 0, n)
+        # per (user, end_day): keep one row, DAU copy first so it wins
+        order = np.lexsort((~dau, ee, uu))
+        uu, ee, dau = uu[order], ee[order], dau[order]
+        keep = np.ones(len(uu), dtype=bool)
+        if len(uu) > 1:
+            keep[1:] = (uu[1:] != uu[:-1]) | (ee[1:] != ee[:-1])
+        ee, dau = ee[keep], dau[keep]
+        # block-local per-day partial counts
+        days_u, inv = np.unique(ee, return_inverse=True)
+        wau_p = np.bincount(inv)
+        dau_p = np.bincount(inv, weights=dau.astype(np.int64)).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "end_day": pa.array(days_u, pa.int64()),
+                "dau_p": pa.array(dau_p, pa.int64()),
+                "wau_p": pa.array(wau_p, pa.int64()),
+            }
+        )
+
+    pairs = events_ds.map_batches(day_pairs, batch_format="pyarrow")
+    partials = _hash_parts(pairs, ["user_id"], num_partitions).map_batches(
+        window_partials, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    agg = partials.groupby("end_day").aggregate(Sum("dau_p"), Sum("wau_p"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["end_day"],
+                pc.cast(batch["sum(dau_p)"], pa.int64()),
+                pc.cast(batch["sum(wau_p)"], pa.int64()),
+            ],
+            names=["day", "dau", "wau"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -475,3 +475,40 @@ def test_shipping_revenue_hand_values(ray_session):
     b = int(before.replace(tzinfo=dt.timezone.utc).timestamp())
     # order1: 100*0.9 + 50 = 140; order2: 200*0.5 = 100; 3 and 4 excluded
     assert got == [(1, b, 140.0), (2, b, 100.0)]
+
+
+def test_active_users_hand_values(ray_session):
+    """DAU/WAU: window membership, no double-count for multi-day users,
+    window days without direct activity still get WAU rows."""
+    import ray.data
+
+    from my_ocr_ray.windows import active_users
+
+    base = dt.datetime(2024, 1, 1)
+    day = 86_400
+    # user 1 active days 0 and 2; user 2 active day 0 (twice)
+    rows = [(1, 0), (1, 2 * day), (2, 5), (2, 10)]
+    t = pa.Table.from_pydict(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = active_users(
+        ray.data.from_arrow(t).repartition(2), window_days=3
+    ).take_all()
+    d0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // day
+    got = {r["day"] - d0: (r["dau"], r["wau"]) for r in out}
+    # day 0: both active. day 1: window {0,1} -> both users, no DAU.
+    # day 2: user1 active (days 0 and 2 both in window — counted ONCE);
+    # user2's day-0 still in window. day 3,4: trailing windows.
+    assert got == {
+        0: (2, 2),
+        1: (0, 2),
+        2: (1, 2),
+        3: (0, 1),  # only user1's day-2 remains in {1,2,3}
+        4: (0, 1),  # user1's day-2 in {2,3,4}
+    }
