@@ -2041,12 +2041,25 @@ def q_embedding_cov(sf_dir: str):
 def q_pca_project(sf_dir: str):
     """PCA compression of embeddings to 8 components (rows-only: the
     eigensolver has no SQL twin; pinned by variance/reconstruction
-    tests)."""
+    tests). Components flatten to scalar pc0..pc7 columns so the
+    driver's row-sort/hash harness can canonicalize the frame."""
     from ..ann import pca_project
 
-    return pca_project(
+    out = pca_project(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_components=8
     )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        lists = batch["pc"].combine_chunks()
+        mat = np.asarray(lists.values, dtype=np.float64).reshape(
+            len(batch), -1
+        )
+        cols = {"vec_id": batch["vec_id"]}
+        for i in range(mat.shape[1]):
+            cols[f"pc{i}"] = pa.array(mat[:, i], pa.float64())
+        return pa.Table.from_pydict(cols)
+
+    return out.map_batches(widen, batch_format="pyarrow")
 
 
 def q_normalize_text(sf_dir: str):

@@ -512,3 +512,89 @@ def test_active_users_hand_values(ray_session):
         3: (0, 1),  # only user1's day-2 remains in {1,2,3}
         4: (0, 1),  # user1's day-2 in {2,3,4}
     }
+
+
+def test_event_window_ops_random_equivalence(ray_session):
+    """user_lag / user_retention / active_users vs brute-force Python
+    recomputation over randomized event logs (ties, dup days, multi-user)."""
+    import ray.data
+
+    from my_ocr_ray.windows import active_users, user_lag, user_retention
+
+    rng = np.random.default_rng(42)
+    n = 300
+    base = int(dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc
+    ).timestamp()) * 1_000_000
+    users = rng.integers(1, 12, n)
+    # microsecond offsets across ~10 days, with deliberate collisions
+    off = rng.integers(0, 10 * 86_400, n) * 1_000_000
+    off[::7] = off[1::7][: len(off[::7])]  # force some exact-tie timestamps
+    ts_us = base + off
+    vals = np.round(rng.normal(size=n) * 10, 3)
+    t = pa.Table.from_pydict(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    # --- user_lag ---
+    from my_ocr_ray.functions.num import round_away_scalar
+
+    rows = sorted(zip(users, ts_us, range(n), vals))
+    expect = {}
+    for i, (u, ts, eid, v) in enumerate(rows):
+        prev_ = rows[i - 1] if i > 0 and rows[i - 1][0] == u else None
+        next_ = rows[i + 1] if i + 1 < len(rows) and rows[i + 1][0] == u else None
+        ridx = expect[(u, "count")] = expect.get((u, "count"), -1) + 1
+        expect[eid] = (
+            ridx,
+            ts - prev_[1] if prev_ else None,
+            next_[1] - ts if next_ else None,
+            round_away_scalar(v - prev_[3], 2) if prev_ else None,
+        )
+    got = {
+        r["event_id"]: (
+            r["row_idx"], r["prev_gap_us"], r["next_gap_us"], r["value_delta"]
+        )
+        for r in user_lag(ds, num_partitions=3).take_all()
+    }
+    for eid in range(n):
+        assert got[eid] == expect[eid], eid
+
+    # --- user_retention ---
+    days = ts_us // (86_400 * 1_000_000)
+    pairs = sorted(set(zip(users, days)))
+    first = {}
+    for u, d in pairs:
+        first.setdefault(u, d)
+    exp_ret = {}
+    for u, d in pairs:
+        key = (first[u], d - first[u])
+        exp_ret[key] = exp_ret.get(key, 0) + 1
+    got_ret = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in user_retention(ds, num_partitions=3).take_all()
+    }
+    assert got_ret == exp_ret
+
+    # --- active_users (window 7) ---
+    exp_au = {}
+    by_day = {}
+    for u, d in pairs:
+        by_day.setdefault(d, set()).add(u)
+    for e in range(int(days.min()), int(days.max()) + 7):
+        wau = set()
+        for d2 in range(e - 6, e + 1):
+            wau |= by_day.get(d2, set())
+        if wau:
+            exp_au[e] = (len(by_day.get(e, set())), len(wau))
+    got_au = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in active_users(ds, num_partitions=3).take_all()
+    }
+    assert got_au == exp_au
