@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": Q.q_pq_topk,  # rows-only: approximate PQ scores
         "q3_shipping": Q.q_q3_shipping,
         "active_users": Q.q_active_users,
+        "ivf_pq": Q.q_ivf_pq,  # rows-only: approximate IVF-PQ scores
         "validate": Q.q_validate,
     }
 

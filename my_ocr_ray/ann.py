@@ -526,7 +526,8 @@ def pca_project(emb_ds, n_components: int = 8):
 
 
 def train_pq_codebooks(
-    emb_ds, m: int = 8, ksub: int = 16, n_iters: int = 5
+    emb_ds, m: int = 8, ksub: int = 16, n_iters: int = 5,
+    centroids: np.ndarray | None = None,
 ):
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): unit-normalized vectors
@@ -539,13 +540,24 @@ def train_pq_codebooks(
     per batch regardless of batch size — reduced by one tiny groupby.
     Same shape as :func:`train_ivf_centroids`; the corpus is never
     exchanged. Init is the first ``ksub`` rows' subvectors
-    (deterministic); empty cells keep their previous centroid."""
+    (deterministic); empty cells keep their previous centroid.
+
+    With ``centroids`` (a coarse IVF quantizer) the codebooks train on
+    RESIDUALS (vector minus its nearest cell centroid) — the standard
+    IVF-PQ encoding, matching :func:`ivf_pq_topk`'s scorer."""
     import ray
 
+    cmat = _unit(centroids).astype(np.float64) if centroids is not None else None
+
+    def _prep(X):
+        X = _unit(X.astype(np.float64))
+        if cmat is None:
+            return X
+        cells = (X @ cmat.T).argmax(axis=1)
+        return X - cmat[cells]
+
     seed = emb_ds.limit(ksub).take_all()
-    X0 = _unit(np.stack([np.asarray(r["embedding"]) for r in seed]).astype(
-        np.float64
-    ))
+    X0 = _prep(np.stack([np.asarray(r["embedding"]) for r in seed]))
     d = X0.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -568,7 +580,7 @@ def train_pq_codebooks(
 
         def partial(batch: pa.Table, _b=bref) -> pa.Table:
             bks = ray.get(_b)
-            X = _unit(_batch_vectors(batch).astype(np.float64))
+            X = _prep(_batch_vectors(batch))
             n = X.shape[0]
             codes = assign_cells(X, bks)
             Xs = X.reshape(n, m, dsub)
@@ -690,6 +702,85 @@ def pq_topk(emb_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
             out_q.extend([qids[qi]] * len(order))
             out_id.extend(ids[order])
             out_sim.extend(sims[qi][order])
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_final_topk_factory(k), batch_format="pyarrow")
+    )
+
+
+def ivf_pq_topk(
+    emb_ds, queries_ref, centroids: np.ndarray, codebooks: np.ndarray,
+    k: int = 5, nprobe: int = 4,
+):
+    """IVF-PQ top-k -> (query_id, rank, vec_id, sim): the canonical
+    web-scale ANN layout (FAISS IVFPQ) composed from this engine's two
+    halves — coarse IVF routing restricts each query to its ``nprobe``
+    nearest cells, and candidates inside probed cells score via the PQ
+    asymmetric-distance LUT on RESIDUALS (vector minus its cell centroid,
+    the standard IVF-PQ encoding) instead of an exact dot product.
+
+    Scale shape: per batch each vector assigns to its cell and encodes to
+    ``m`` bytes against the broadcast codebooks; per query only probed-
+    cell rows gather ``m`` LUT entries each — the scan does no O(d) math
+    on unprobed rows. Partial-top-k -> grouped final-top-k as in the
+    exact twin. Rows-only (approximate); recall vs :func:`ivf_topk` and
+    the residual round-trip are pinned in tests."""
+    import ray
+
+    m, ksub, dsub = codebooks.shape
+    cmat = _unit(centroids).astype(np.float64)
+    q = ray.get(queries_ref) if hasattr(queries_ref, "hex") else queries_ref
+    qids = np.asarray(q["qids"], dtype=np.int64)
+    qmat = _unit(np.asarray(q["vectors"], dtype=np.float64))
+    qcells = qmat @ cmat.T
+    probed = np.argsort(-qcells, axis=1)[:, :nprobe]  # (Q, nprobe)
+    # inner-product ADC over residual codes: q.x = q.c + q.r, so ONE LUT
+    # per query (q dotted with every residual codeword — cell-independent)
+    # plus the q.c constant per probed cell. (Using q - c in the LUT would
+    # leave a c.r error term — that is the L2 formulation, not IP.)
+    nq = len(qids)
+    luts = np.einsum("qsd,scd->qsc", qmat.reshape(nq, m, dsub), codebooks)
+    qdotc = np.take_along_axis(qcells, probed, axis=1)  # (Q, nprobe)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _unit(_batch_vectors(batch).astype(np.float64))
+        n = X.shape[0]
+        cells = (X @ cmat.T).argmax(axis=1).astype(np.int64)
+        # residual-encode each vector against ITS cell
+        R = (X - cmat[cells]).reshape(n, m, dsub)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            c = codebooks[s]
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (R[:, s, :] @ c.T)
+            codes[:, s] = d2.argmin(axis=1)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        sub_idx = np.arange(m)
+        for qi in range(nq):
+            for pi in range(nprobe):
+                mask = cells == probed[qi, pi]
+                if not mask.any():
+                    continue
+                # sim ~= q.c + q_resid . x_resid  (both vs the same cell)
+                sims = (
+                    luts[qi][sub_idx[None, :], codes[mask]].sum(axis=1)
+                    + qdotc[qi, pi]
+                )
+                sub_ids = ids[mask]
+                kk = min(k, len(sub_ids))
+                order = np.lexsort((sub_ids, -sims))[:kk]
+                out_q.extend([qids[qi]] * kk)
+                out_id.extend(sub_ids[order])
+                out_sim.extend(sims[order])
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(out_q, pa.int64()),

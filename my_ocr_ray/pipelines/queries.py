@@ -2146,3 +2146,18 @@ def q_active_users(sf_dir: str):
     from ..windows import active_users
 
     return active_users(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_ivf_pq(sf_dir: str):
+    """IVF-PQ composed search (rows-only: approximate; recall pinned).
+    Coarse centroids = streaming k-means; codebooks = streaming
+    per-subspace k-means over residual-free unit vectors."""
+    import ray
+
+    from ..ann import ivf_pq_topk, train_ivf_centroids, train_pq_codebooks
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=2)
+    books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=2, centroids=cents)
+    qref = ray.put(_query_vectors(sf_dir))
+    return ivf_pq_topk(emb, qref, cents, books, k=5, nprobe=3)

@@ -1128,3 +1128,56 @@ def test_pq_recall_and_determinism(ray_session):
         assert all(v % 6 == qid % 6 for v in ids), (qid, ids)
     recalls = [len(ex[k_] & ap[k_]) / 5 for k_ in ex]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivf_pq_recall(ray_session):
+    """IVF-PQ composed search: probed-cell routing + residual ADC keeps
+    high recall vs the exact probed (IVF) twin on clustered data."""
+    import ray
+    import ray.data
+
+    from my_ocr_ray.ann import (
+        ivf_pq_topk,
+        ivf_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(5, 32)) * 4
+    X = np.stack(
+        [centers[i % 5] + rng.normal(size=32) * 1.0 for i in range(300)]
+    )
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in X], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents = train_ivf_centroids(ds, n_centroids=5, n_iters=3)
+    books = train_pq_codebooks(ds, m=8, ksub=16, n_iters=3, centroids=cents)
+    q = {"qids": np.array([3, 50, 111]), "vectors": X[[3, 50, 111]]}
+    qref = ray.put(q)
+    exact = ivf_topk(ds, qref, cents, k=5, nprobe=2).take_all()
+    approx = ivf_pq_topk(ds, qref, cents, books, k=10, nprobe=2).take_all()
+    # the ADC contract on tight clusters is SCORE fidelity, not top-5
+    # membership (exact in-cluster sims differ by ~1e-3 — less than any
+    # quantizer's noise): approximate sims must track exact sims closely,
+    # and each exact top-1 must appear in the approximate top-10.
+    Xu = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ex_top1 = {}
+    for r in exact:
+        if r["rank"] == 1:
+            ex_top1[r["query_id"]] = r["vec_id"]
+    ap_sets, errs = {}, []
+    for r in approx:
+        ap_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        true_sim = float(Xu[r["query_id"]] @ Xu[r["vec_id"]])
+        errs.append(abs(r["sim"] - true_sim))
+    assert sum(errs) / len(errs) < 0.05, sum(errs) / len(errs)
+    assert max(errs) < 0.2, max(errs)
+    for qid, top1 in ex_top1.items():
+        assert top1 in ap_sets[qid], (qid, top1, ap_sets[qid])
