@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": Q.q_q3_shipping,
         "active_users": Q.q_active_users,
         "ivf_pq": Q.q_ivf_pq,  # rows-only: approximate IVF-PQ scores
+        "semdedup": Q.q_semdedup,  # rows-only: LSH candidates, no SQL twin
         "validate": Q.q_validate,
     }
 

@@ -2276,3 +2276,77 @@ def fuzzy_decontaminate(
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def hash_embed_batch(batch: pa.Table, dim: int = 64) -> pa.Table:
+    """Feature-hashing text embedding (Weinberger et al. 2009 "hashing
+    trick") -> (vec_id, embedding): each token's 64-bit md5 prefix picks
+    a bucket (h % dim) and a sign (one high bit), signed counts
+    accumulate per document and L2-normalize. Deterministic, vocabulary-
+    free, fixed-width — the cheap featurizer that lets every embedding
+    operator in the engine run directly on a TEXT corpus."""
+    from .functions.textproc import flat_token_hashes
+
+    texts = batch["text"].to_pylist()
+    h64, lens = flat_token_hashes(texts)
+    n = len(lens)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    if len(h64):
+        bkt = (h64 % np.uint64(dim)).astype(np.int64)
+        sgn = (((h64 >> np.uint64(61)) & np.uint64(1)).astype(np.float64)
+               * 2.0 - 1.0)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        np.add.at(mat, (rows, bkt), sgn)
+    mat = mat @ _hash_embed_rotation(dim)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat /= norms[:, None]
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pc.cast(batch["doc_id"], pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+
+
+_ROTATIONS: dict = {}
+
+
+def _hash_embed_rotation(dim: int) -> np.ndarray:
+    """Seeded orthogonal rotation (QR of a fixed-seed Gaussian), cached
+    per dim — a pure function of dim, identical in every task. Raw
+    hashed-count dimensions are dominated by corpus-common tokens, so
+    sign-LSH buckets collapse onto a handful of patterns (measured: 5000
+    template docs -> 8 buckets, one holding 2658 rows, a near-O(n^2) hot
+    bucket); an orthogonal rotation preserves every pairwise cosine
+    EXACTLY while spreading sign entropy across dimensions."""
+    R = _ROTATIONS.get(dim)
+    if R is None:
+        g = np.random.default_rng(1234 + dim).normal(size=(dim, dim))
+        R, _ = np.linalg.qr(g)
+        _ROTATIONS[dim] = R
+    return R
+
+
+def semdedup_pairs(
+    docs_ds, threshold: float = 0.9, dim: int = 64, n_planes: int = 16,
+    n_bands: int = 2, num_partitions: int | None = None,
+):
+    """SemDeDup-shaped semantic near-dup pairs over the TEXT corpus ->
+    (vec_a, vec_b, cosine): documents featurize to hashed bag-of-words
+    vectors (:func:`hash_embed_batch`) and flow through the banded
+    sign-LSH pair machinery (:func:`embedding_dup_pairs`) — the
+    Abbas et al. 2023 SemDeDup pipeline shape with the neural encoder
+    seam replaced by the deterministic hashing featurizer (swap
+    ``hash_embed_batch`` for a model actor stage to get the paper's
+    variant; everything downstream is unchanged).
+
+    Scale shape: featurization is pure map-side; the pair stage inherits
+    the banded-LSH exchange and the hard O(n^2) bucket guard."""
+    emb = docs_ds.map_batches(
+        hash_embed_batch, batch_format="pyarrow", fn_kwargs={"dim": dim}
+    )
+    return embedding_dup_pairs(
+        emb, threshold=threshold, n_planes=n_planes, n_bands=n_bands,
+        num_partitions=num_partitions,
+    )

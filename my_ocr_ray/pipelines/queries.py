@@ -2161,3 +2161,14 @@ def q_ivf_pq(sf_dir: str):
     books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=2, centroids=cents)
     qref = ray.put(_query_vectors(sf_dir))
     return ivf_pq_topk(emb, qref, cents, books, k=5, nprobe=3)
+
+
+def q_semdedup(sf_dir: str):
+    """Semantic near-dup pairs over documents via the hashing-trick
+    featurizer + banded sign-LSH (rows-only: LSH candidate set has no
+    tractable SQL twin; exact-dup recovery pinned in tests)."""
+    from ..dedup import semdedup_pairs
+
+    return semdedup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.9
+    )

@@ -1181,3 +1181,43 @@ def test_ivf_pq_recall(ray_session):
     assert max(errs) < 0.2, max(errs)
     for qid, top1 in ex_top1.items():
         assert top1 in ap_sets[qid], (qid, top1, ap_sets[qid])
+
+
+def test_semdedup_finds_exact_and_near_dups(ray_session):
+    """Hashed-BoW featurizer + sign-LSH recovers exact duplicates at
+    cosine 1.0, near-dups (one token changed) above threshold, and emits
+    no pairs among unrelated docs."""
+    import ray.data
+
+    from my_ocr_ray.dedup import hash_embed_batch, semdedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy", 1)
+    texts = [base, base, near] + [
+        f"completely different document number {i} "
+        + " ".join(f"tok{i}_{j}" for j in range(30))
+        for i in range(12)
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = semdedup_pairs(
+        ray.data.from_arrow(t).repartition(3), threshold=0.9,
+        num_partitions=2,
+    ).take_all()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert pairs[(0, 2)] >= 0.9          # near dup (both copies hit it)
+    assert pairs[(1, 2)] >= 0.9
+    for (a, b) in pairs:
+        assert {a, b} <= {0, 1, 2}, (a, b)  # no unrelated pairs
+
+    # featurizer determinism + unit norm
+    emb = hash_embed_batch(t, dim=32)
+    emb2 = hash_embed_batch(t, dim=32)
+    assert emb.equals(emb2)
+    v = np.stack(emb["embedding"].to_numpy(zero_copy_only=False))
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
