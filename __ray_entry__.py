@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users": Q.q_active_users,
         "ivf_pq": Q.q_ivf_pq,  # rows-only: approximate IVF-PQ scores
         "semdedup": Q.q_semdedup,  # rows-only: LSH candidates, no SQL twin
+        "semdedup_prune": Q.q_semdedup_prune,  # rows-only: same candidates
         "validate": Q.q_validate,
     }
 

@@ -2172,3 +2172,23 @@ def q_semdedup(sf_dir: str):
     return semdedup_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.9
     )
+
+
+def q_semdedup_prune(sf_dir: str):
+    """Semantic keep-one pruning over documents (rows-only): hashing-trick
+    featurizer -> sign-LSH pairs -> distributed connected components ->
+    (doc_id, cluster_id = min reachable doc_id). The full SemDeDup
+    curation step: keep rows where doc_id == cluster_id."""
+    from ..dedup import connected_components, semdedup_pairs
+
+    pairs = semdedup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.9
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["vec_a"], batch["vec_b"]], names=["doc_a", "doc_b"]
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    return connected_components(edges)

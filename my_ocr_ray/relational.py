@@ -350,10 +350,21 @@ def shipping_revenue(
         )
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    if join_num_partitions is None:
+        # data-scaled join partitions (the engine-wide sizing rule):
+        # grow with the PROBE side's source rows, floor at 8
+        from .windows import _size_partitions
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+            ray.is_initialized()
+        ) else 8
+        join_num_partitions = _size_partitions(
+            _approx_source_rows(lineitem_ds), cpus
+        )
     joined = li.join(
         orders_q,
         join_type="inner",
-        num_partitions=join_num_partitions or 8,
+        num_partitions=join_num_partitions,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

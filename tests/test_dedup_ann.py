@@ -1221,3 +1221,32 @@ def test_semdedup_finds_exact_and_near_dups(ray_session):
     assert emb.equals(emb2)
     v = np.stack(emb["embedding"].to_numpy(zero_copy_only=False))
     assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
+
+
+def test_semdedup_prune_labels(ray_session):
+    """Keep-one labelling: dup/near-dup docs collapse to one cluster with
+    min-id representative; unrelated docs get no label rows (no edges)."""
+    import ray.data
+
+    from my_ocr_ray.pipelines import queries as Q
+
+    base = "alpha beta gamma delta epsilon zeta " * 5
+    texts = [base, base, base.replace("zeta", "eta", 1),
+             "totally unrelated words " + " ".join(f"w{i}" for i in range(25))]
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="semprune_")
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = Q.q_semdedup_prune(d).take_all()
+    labels = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert labels[0] == 0 and labels[1] == 0 and labels[2] == 0
+    assert 3 not in labels  # no edges -> not in the pair graph
