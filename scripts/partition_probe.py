@@ -38,7 +38,10 @@ def main() -> None:
 
     qs = entry.queries()
     probe = ["lsh_pairs", "passage_dedup", "interval_merge", "sessionize",
-             "epoch_shuffle", "winnow_pairs", "source_overlap"]
+             "epoch_shuffle", "winnow_pairs", "source_overlap",
+             # round-3 extension exchanges
+             "user_lag", "user_retention", "active_users",
+             "dedup_keep_best", "user_event_seq"]
     print(f"\n# live exchanges at {sf_dir}")
     for name in probe:
         windows.SIZING_LOG.clear()
