@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pq": Q.q_ivf_pq,  # rows-only: approximate IVF-PQ scores
         "semdedup": Q.q_semdedup,  # rows-only: LSH candidates, no SQL twin
         "semdedup_prune": Q.q_semdedup_prune,  # rows-only: same candidates
+        "neardup_edit": Q.q_neardup_edit,
         "validate": Q.q_validate,
     }
 
@@ -792,6 +793,27 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        """,
+        "neardup_edit": _SIGS_CTE
+        + f""",
+        bands AS (
+          SELECT doc_id,
+                 (((0*{_B} + sig0) % {_P}) * {_B} + sig1) % {_P} AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id,
+                 (((1*{_B} + sig2) % {_P}) * {_B} + sig3) % {_P} AS band
+          FROM sigs),
+        p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               round(1.0 - levenshtein(da.text, db.text)
+                     / greatest(length(da.text), length(db.text), 1), 6)
+                 AS edit_sim
+        FROM p JOIN documents da ON da.doc_id = p.doc_a
+               JOIN documents db ON db.doc_id = p.doc_b
         """,
         "pagerank": _SIGS_CTE
         + f""",

@@ -2350,3 +2350,123 @@ def semdedup_pairs(
         emb, threshold=threshold, n_planes=n_planes, n_bands=n_bands,
         num_partitions=num_partitions,
     )
+
+
+def neardup_edit_stats(
+    docs_ds, num_hashes: int = 4, band_size: int = 2, k: int = 3,
+    num_partitions: int = 8,
+):
+    """Edit-distance verification of LSH candidate pairs -> (doc_a,
+    doc_b, edit_dist, edit_sim): Levenshtein distance and normalized
+    similarity (1 - dist / max(len)) for every banded-MinHash candidate —
+    the character-level twin of :func:`split_leakage`'s Jaccard verify,
+    and the dedup-side reuse of the OCR eval metric
+    (``functions/metrics.edit_distance``, reference
+    ``mmocr/core/evaluation/ocr_metric.py`` semantics).
+
+    Scale shape: candidates come from banded LSH (never all-pairs); texts
+    join back with two id-keyed hash exchanges; the O(len^2) DP runs only
+    on candidate pairs (pair count is LSH-bounded)."""
+    from .functions.metrics import edit_distance
+    from .functions.num import round_away
+
+    empty = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "edit_dist": pa.array([], pa.int64()),
+            "edit_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    import ray.data
+
+    # hash-shuffled pair output can hold zero-COLUMN empty blocks that
+    # crash a downstream keyed join ("no match for key field") — rebuild
+    # from the non-empty block refs first (see _nonempty)
+    pairs = _nonempty(
+        lsh_candidate_pairs(
+            docs_ds, num_hashes=num_hashes, band_size=band_size, k=k,
+            num_partitions=num_partitions,
+        )
+    )
+    if pairs is None:
+        return ray.data.from_arrow(empty)
+
+    def as_a(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["doc_a", "text_a"]
+        )
+
+    def as_b(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["text"]], names=["doc_b", "text_b"]
+        )
+
+    j = pairs.join(
+        docs_ds.map_batches(as_a, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("doc_a",),
+    ).join(
+        docs_ds.map_batches(as_b, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("doc_b",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        try:
+            # vectorized C kernel: DuckDB's levenshtein over the batch —
+            # ~40x the pure-Python DP on document-length strings
+            import duckdb
+
+            sub = batch.select(["text_a", "text_b"])
+            dist = (
+                duckdb.connect()
+                .execute(
+                    "SELECT levenshtein(text_a, text_b) AS d FROM sub"
+                )
+                .fetchnumpy()["d"]
+                .astype(np.int64)
+            )
+            return _edit_rows(batch, dist, ta, tb)
+        except ImportError:
+            pass
+
+        def trimmed_dist(a: str, b: str) -> int:
+            # candidates are near-dups: strip the shared prefix/suffix so
+            # the O(n*m) DP runs only on the differing middle (exact dups
+            # short-circuit to 0)
+            if a == b:
+                return 0
+            i = 0
+            n = min(len(a), len(b))
+            while i < n and a[i] == b[i]:
+                i += 1
+            j = 0
+            while j < n - i and a[len(a) - 1 - j] == b[len(b) - 1 - j]:
+                j += 1
+            return edit_distance(a[i:len(a) - j], b[i:len(b) - j])
+
+        dist = np.array(
+            [trimmed_dist(a, b) for a, b in zip(ta, tb)], dtype=np.int64
+        )
+        return _edit_rows(batch, dist, ta, tb)
+
+    def _edit_rows(batch, dist, ta, tb):
+        mx = np.array(
+            [max(len(a), len(b), 1) for a, b in zip(ta, tb)], dtype=np.float64
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "edit_dist": pa.array(dist, pa.int64()),
+                "edit_sim": pa.array(
+                    round_away(1.0 - dist / mx, 6), pa.float64()
+                ),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -2192,3 +2192,10 @@ def q_semdedup_prune(sf_dir: str):
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     return connected_components(edges)
+
+
+def q_neardup_edit(sf_dir: str):
+    """Levenshtein verification of LSH candidate pairs."""
+    from ..dedup import neardup_edit_stats
+
+    return neardup_edit_stats(_read(sf_dir, "documents", ["doc_id", "text"]))

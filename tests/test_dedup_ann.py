@@ -1250,3 +1250,29 @@ def test_semdedup_prune_labels(ray_session):
     labels = {r["doc_id"]: r["cluster_id"] for r in out}
     assert labels[0] == 0 and labels[1] == 0 and labels[2] == 0
     assert 3 not in labels  # no edges -> not in the pair graph
+
+
+def test_neardup_edit_stats(ray_session):
+    """Exact dup pairs get dist 0 / sim 1; near-dups get the hand-counted
+    Levenshtein distance."""
+    import ray.data
+
+    from my_ocr_ray.dedup import neardup_edit_stats
+
+    base = "aaa bbb ccc ddd eee fff ggg hhh"
+    texts = [base, base, base.replace("ddd", "dxd")]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = neardup_edit_stats(
+        ray.data.from_arrow(t).repartition(2), num_partitions=2
+    ).take_all()
+    got = {(r["doc_a"], r["doc_b"]): (r["edit_dist"], r["edit_sim"]) for r in out}
+    assert got[(1, 2)] == (0, 1.0)
+    if (1, 3) in got:  # LSH candidate if any band survives the edit
+        from my_ocr_ray.functions.num import round_away_scalar
+
+        assert got[(1, 3)] == (1, round_away_scalar(1 - 1 / len(base), 6))
