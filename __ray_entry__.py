@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": Q.q_semdedup,  # rows-only: LSH candidates, no SQL twin
         "semdedup_prune": Q.q_semdedup_prune,  # rows-only: same candidates
         "neardup_edit": Q.q_neardup_edit,
+        "compress_ratio": Q.q_compress_ratio,  # rows-only: no SQL zlib
         "validate": Q.q_validate,
     }
 

@@ -776,3 +776,32 @@ def normalize_text(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         norm, batch_format="pyarrow"
     )
+
+
+def compress_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """zlib compression ratio per document -> (doc_id, n_bytes,
+    n_compressed, compress_ratio): highly repetitive or templated text
+    compresses far below prose (~0.3-0.4 for natural language, ~0.05 for
+    boilerplate loops) — the cheap redundancy prior CCNet-family
+    curation stacks use alongside the token heuristics. Deterministic
+    (fixed zlib level), per-row C calls, pure map-side."""
+    import zlib
+
+    from .functions.num import round_away
+
+    texts = batch["text"].to_pylist()
+    raw = np.array([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+    comp = np.array(
+        [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+        dtype=np.int64,
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(raw, pa.int64()),
+            "n_compressed": pa.array(comp, pa.int64()),
+            "compress_ratio": pa.array(
+                round_away(comp / np.maximum(raw, 1), 6), pa.float64()
+            ),
+        }
+    )

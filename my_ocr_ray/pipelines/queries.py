@@ -2199,3 +2199,13 @@ def q_neardup_edit(sf_dir: str):
     from ..dedup import neardup_edit_stats
 
     return neardup_edit_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_compress_ratio(sf_dir: str):
+    """zlib redundancy prior per document (rows-only: no SQL zlib;
+    deterministic values pinned in tests)."""
+    from ..analysis import compress_ratio_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compress_ratio_batch, batch_format="pyarrow"
+    )

@@ -199,3 +199,32 @@ def test_per_row_sum_trailing_empty_rows():
     # all empty
     assert _per_row_sum(np.array([], dtype=np.int64),
                         np.array([0, 0, 0])).tolist() == [0, 0]
+
+
+def test_compress_ratio_values():
+    """Deterministic zlib ratios: repetitive text compresses far below
+    high-entropy text; exact values pinned."""
+    import zlib
+
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import compress_ratio_batch
+    from my_ocr_ray.functions.num import round_away_scalar
+
+    rep = "spam " * 200
+    rnd = "q8Zk2 vX9pL mN3tY wB7cF jH4dG " * 6  # mixed-entropy
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([rep, rnd], pa.string()),
+        }
+    )
+    out = compress_ratio_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    for did, txt in ((1, rep), (2, rnd)):
+        c = len(zlib.compress(txt.encode(), 6))
+        assert rows[did]["n_compressed"] == c
+        assert rows[did]["compress_ratio"] == round_away_scalar(
+            c / len(txt.encode()), 6
+        )
+    assert rows[1]["compress_ratio"] < rows[2]["compress_ratio"]
