@@ -33,6 +33,11 @@ spans AS (
 
 _FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
+# explicit Unicode-whitespace class shared verbatim with the Ray
+# normalize_text kernel (textproc.WS_CLASS_RE) — see that constant's note
+from my_ocr_ray.functions.textproc import WS_CLASS_RE as _WS  # noqa: E402
+
+
 
 def _pii_sql() -> str:
     """Redaction cascade built from the SAME rule tuple the Ray kernel
@@ -633,13 +638,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS dsir_logratio
         FROM documents d LEFT JOIN s USING (doc_id)
         """,
-        "normalize_text": r"""
+        "normalize_text": f"""
         SELECT doc_id,
-               trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
-                 AS text_norm,
+               trim(regexp_replace(nfc_normalize(text), '{_WS}', ' ', 'g'),
+                    ' ') AS text_norm,
                CAST(CASE WHEN
-                 trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
-                   <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
+                 trim(regexp_replace(nfc_normalize(text), '{_WS}', ' ', 'g'),
+                      ' ') <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
         """,
         "active_users": r"""

@@ -742,12 +742,18 @@ def normalize_text(docs_ds):
     dedup (the fingerprint kernels assume collapsed whitespace).
 
     Map-side only — zero exchanges, trivially resumable. The whitespace
-    pass is one Arrow regex kernel; NFC runs via ``unicodedata`` on the
-    NON-ASCII rows only (this build's ``pc.utf8_normalize`` decomposes
-    regardless of the requested form, so it can't be used), selected by a
-    vectorized ASCII mask — on ASCII-dominant web corpora the Python
-    branch touches a small fraction of rows."""
+    pass is one Arrow regex kernel over the EXPLICIT Unicode-whitespace
+    class shared verbatim with the SQL oracle (``textproc.WS_CLASS_RE`` —
+    RE2's \s and Arrow's utf8_trim_whitespace disagree on edge chars
+    like \x0b, so neither is used), then a space-only trim; NFC runs via
+    ``unicodedata`` on the NON-ASCII rows only (this build's
+    ``pc.utf8_normalize`` decomposes regardless of the requested form, so
+    it can't be used), selected by a vectorized ASCII mask — on
+    ASCII-dominant web corpora the Python branch touches a small fraction
+    of rows."""
     import unicodedata
+
+    from .functions.textproc import WS_CLASS_RE
 
     def norm(batch: pa.Table) -> pa.Table:
         orig = batch["text"].combine_chunks()
@@ -761,8 +767,9 @@ def normalize_text(docs_ds):
             for k in idx:
                 vals[k] = unicodedata.normalize("NFC", vals[k])
             text = pa.array(vals, pa.string())
-        out = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(text, r"\s+", " ")
+        out = pc.utf8_trim(
+            pc.replace_substring_regex(text, WS_CLASS_RE, " "),
+            characters=" ",
         )
         changed = pc.cast(pc.not_equal(out, orig), pa.int64())
         return pa.Table.from_pydict(

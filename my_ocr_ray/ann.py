@@ -525,6 +525,22 @@ def pca_project(emb_ds, n_components: int = 8):
     return emb_ds.map_batches(project, batch_format="pyarrow")
 
 
+def _assign_codes(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, ksub, dsub) -> (n, m) nearest-sub-centroid indices
+    (argmin squared L2 via the dot-product expansion). The ONE encoder
+    shared by codebook training, pq_encode, and both ADC scorers — a
+    tie-break or dtype change lands everywhere at once."""
+    m, ksub, dsub = codebooks.shape
+    n = X.shape[0]
+    Xs = X.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        c = codebooks[s]
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
 def train_pq_codebooks(
     emb_ds, m: int = 8, ksub: int = 16, n_iters: int = 5,
     centroids: np.ndarray | None = None,
@@ -564,17 +580,6 @@ def train_pq_codebooks(
     dsub = d // m
     books = X0[:ksub].reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
 
-    def assign_cells(X, bks):
-        """(n, d) -> (n, m) nearest sub-centroid per subspace."""
-        n = X.shape[0]
-        Xs = X.reshape(n, m, dsub)
-        codes = np.empty((n, m), dtype=np.int64)
-        for s in range(m):
-            c = bks[s]  # (ksub, dsub)
-            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
-            codes[:, s] = d2.argmin(axis=1)
-        return codes
-
     for _ in range(n_iters):
         bref = ray.put(books)
 
@@ -582,7 +587,7 @@ def train_pq_codebooks(
             bks = ray.get(_b)
             X = _prep(_batch_vectors(batch))
             n = X.shape[0]
-            codes = assign_cells(X, bks)
+            codes = _assign_codes(X, bks)
             Xs = X.reshape(n, m, dsub)
             keys, vsums, ns = [], [], []
             for s in range(m):
@@ -648,13 +653,7 @@ def pq_encode(emb_ds, codebooks: np.ndarray):
 
     def encode(batch: pa.Table) -> pa.Table:
         X = _unit(_batch_vectors(batch).astype(np.float64))
-        n = X.shape[0]
-        Xs = X.reshape(n, m, dsub)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for s in range(m):
-            c = codebooks[s]
-            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
-            codes[:, s] = d2.argmin(axis=1)
+        codes = _assign_codes(X, codebooks).astype(np.uint8)
         return pa.Table.from_pydict(
             {
                 "vec_id": batch["vec_id"],
@@ -665,12 +664,14 @@ def pq_encode(emb_ds, codebooks: np.ndarray):
     return emb_ds.map_batches(encode, batch_format="pyarrow")
 
 
-def pq_topk(emb_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
-    """Asymmetric-distance top-k over PQ codes -> (query_id, rank,
-    vec_id, sim): queries stay exact, corpus vectors are scored from
-    their codes via a per-query lookup table (LUT[s, c] = q_s . C[s, c]),
-    so each batch costs one (n x m) gather + row-sum instead of an
-    (n x d) matmul. Same partial-top-k -> grouped final-top-k shape as
+def pq_topk(codes_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
+    """Asymmetric-distance top-k over STORED PQ codes -> (query_id, rank,
+    vec_id, sim): ``codes_ds`` is :func:`pq_encode` output (vec_id,
+    code) — queries stay exact, corpus vectors are scored from their
+    codes via a per-query lookup table (LUT[s, c] = q_s . C[s, c]), so
+    each batch costs one (n x m) gather + row-sum; the float vectors are
+    never read at search time (that is the point of the m-byte codes).
+    Same partial-top-k -> grouped final-top-k shape as
     :func:`brute_force_topk`; rows-only (approximate scores), recall
     pinned against the exact twin in tests."""
     import ray
@@ -684,18 +685,14 @@ def pq_topk(emb_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
     lut = np.einsum("qsd,scd->qsc", qmat.reshape(nq, m, dsub), codebooks)
 
     def partial(batch: pa.Table) -> pa.Table:
-        X = _unit(_batch_vectors(batch).astype(np.float64))
-        n = X.shape[0]
-        Xs = X.reshape(n, m, dsub)
-        codes = np.empty((n, m), dtype=np.int64)
-        for s in range(m):
-            c = codebooks[s]
-            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (Xs[:, s, :] @ c.T)
-            codes[:, s] = d2.argmin(axis=1)
+        lists = batch["code"].combine_chunks()
+        codes = np.asarray(lists.values, dtype=np.int64).reshape(
+            batch.num_rows, m
+        )
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         # sims[q, i] = sum_s lut[q, s, codes[i, s]]
         sims = lut[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, n)
-        kk = min(k, n)
+        kk = min(k, batch.num_rows)
         out_q, out_id, out_sim = [], [], []
         for qi in range(nq):
             order = np.lexsort((ids, -sims[qi]))[:kk]
@@ -711,7 +708,7 @@ def pq_topk(emb_ds, queries_ref, codebooks: np.ndarray, k: int = 5):
         )
 
     return (
-        emb_ds.map_batches(partial, batch_format="pyarrow")
+        codes_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_final_topk_factory(k), batch_format="pyarrow")
     )
@@ -753,15 +750,9 @@ def ivf_pq_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         X = _unit(_batch_vectors(batch).astype(np.float64))
-        n = X.shape[0]
         cells = (X @ cmat.T).argmax(axis=1).astype(np.int64)
         # residual-encode each vector against ITS cell
-        R = (X - cmat[cells]).reshape(n, m, dsub)
-        codes = np.empty((n, m), dtype=np.int64)
-        for s in range(m):
-            c = codebooks[s]
-            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (R[:, s, :] @ c.T)
-            codes[:, s] = d2.argmin(axis=1)
+        codes = _assign_codes(X - cmat[cells], codebooks)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         out_q, out_id, out_sim = [], [], []
         sub_idx = np.arange(m)

@@ -2352,6 +2352,20 @@ def semdedup_pairs(
     )
 
 
+_DUCK_CON = None
+
+
+def _duck():
+    """Lazy per-process DuckDB connection for vectorized scalar kernels
+    (levenshtein) — one native connection per Ray worker, not per batch."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
 def neardup_edit_stats(
     docs_ds, num_hashes: int = 4, band_size: int = 2, k: int = 3,
     num_partitions: int = 8,
@@ -2414,25 +2428,25 @@ def neardup_edit_stats(
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
-        ta = batch["text_a"].to_pylist()
-        tb = batch["text_b"].to_pylist()
         try:
             # vectorized C kernel: DuckDB's levenshtein over the batch —
-            # ~40x the pure-Python DP on document-length strings
-            import duckdb
-
+            # ~40x the pure-Python DP on document-length strings; the
+            # connection is hoisted per worker (see _duck)
             sub = batch.select(["text_a", "text_b"])
             dist = (
-                duckdb.connect()
+                _duck()
                 .execute(
                     "SELECT levenshtein(text_a, text_b) AS d FROM sub"
                 )
                 .fetchnumpy()["d"]
                 .astype(np.int64)
             )
-            return _edit_rows(batch, dist, ta, tb)
+            return _edit_rows(batch, dist)
         except ImportError:
             pass
+
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
 
         def trimmed_dist(a: str, b: str) -> int:
             # candidates are near-dups: strip the shared prefix/suffix so
@@ -2452,12 +2466,14 @@ def neardup_edit_stats(
         dist = np.array(
             [trimmed_dist(a, b) for a, b in zip(ta, tb)], dtype=np.int64
         )
-        return _edit_rows(batch, dist, ta, tb)
+        return _edit_rows(batch, dist)
 
-    def _edit_rows(batch, dist, ta, tb):
-        mx = np.array(
-            [max(len(a), len(b), 1) for a, b in zip(ta, tb)], dtype=np.float64
-        )
+    def _edit_rows(batch, dist):
+        # CODEPOINT lengths (levenshtein operates on characters): Arrow
+        # kernel, no Python text materialization on the fast path
+        la = pc.utf8_length(batch["text_a"]).to_numpy(zero_copy_only=False)
+        lb = pc.utf8_length(batch["text_b"]).to_numpy(zero_copy_only=False)
+        mx = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
         return pa.Table.from_pydict(
             {
                 "doc_a": batch["doc_a"],

@@ -344,3 +344,16 @@ def string_strip(text: str, strip: bool = True, strip_pos: str = "both",
 def is_chinese_char(ch: str) -> bool:
     """CJK-range predicate (``data_generation_tools.py:110-117``)."""
     return bool(CJK_RE.match(ch))
+
+
+# Unicode whitespace class shared VERBATIM by the normalize_text kernel and
+# its DuckDB oracle: RE2's \s stops at [\t\n\f\r ] while Arrow's
+# utf8_trim_whitespace trims full Unicode whitespace, so the two engines
+# disagree on edge characters like \x0b — an explicit literal class keeps
+# both regex engines (both RE2) and both trims (space-only) identical.
+WS_CHARS = (
+    " \t\n\r\f\x0b\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+WS_CLASS_RE = "[" + WS_CHARS + "]+"

@@ -2050,6 +2050,11 @@ def q_pca_project(sf_dir: str):
     )
 
     def widen(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64())]
+                + [(f"pc{i}", pa.float64()) for i in range(8)]
+            ).empty_table()
         lists = batch["pc"].combine_chunks()
         mat = np.asarray(lists.values, dtype=np.float64).reshape(
             len(batch), -1
@@ -2098,12 +2103,13 @@ def q_pq_topk(sf_dir: str):
     the streaming k-means pass, then searches via per-query LUTs."""
     import ray
 
-    from ..ann import pq_topk, train_pq_codebooks
+    from ..ann import pq_encode, pq_topk, train_pq_codebooks
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=3)
+    codes = pq_encode(emb, books)  # search consumes codes, never vectors
     qref = ray.put(_query_vectors(sf_dir))
-    return pq_topk(emb, qref, books, k=5)
+    return pq_topk(codes, qref, books, k=5)
 
 
 def q_q3_shipping(sf_dir: str):

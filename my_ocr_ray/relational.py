@@ -267,7 +267,7 @@ def shipping_revenue(
     lineitems shipped AFTER the cutoff, for orders placed BEFORE it by the
     given customers; ordered by revenue desc (ties to orderkey).
 
-    Scale shape (the three 100-TB join levers in one pipeline):
+    Scale shape (the 100-TB join levers composed):
     1. PREDICATE PUSHDOWN: callers read orders/lineitem with the date
        predicates in the parquet scan, so non-qualifying row groups never
        leave storage.
@@ -278,14 +278,22 @@ def shipping_revenue(
        results.
     3. PARTIAL-AGG BEFORE EXCHANGE: each lineitem block pre-sums revenue
        per orderkey, so the shuffle join carries one row per (block,
-       orderkey), then the orderkey-keyed ``Dataset.join`` against the
-       skinny qualifying-orders table is exact.
+       orderkey). Revenue accumulates as EXACT INTEGER hundredths-of-cents
+       (prices and discounts are cent-precise), so the final double is
+       bit-identical to the SQL oracle whatever the block layout.
+    4. PARTIAL TOP-N: each aggregated block keeps its local top-``topn``
+       before ONE single-block final cut — never a global sort.
 
-    The customer side is a sorted-key broadcast (smallest table). Output
-    dates are epoch seconds (int64) for SQL parity."""
+    The customer side is a sorted-key broadcast (smallest table); the
+    skinny qualifying-orders table is materialized once and reused by the
+    Bloom build and the join (one orders scan, not two). Join partition
+    count is data-scaled from the probe side with the engine-wide rule,
+    and the join aggregator pool's CPU claim is pinned by the same fixed
+    budget ``_hash_parts`` uses, so growing partitions never starve
+    neighbouring stages. Output dates are epoch seconds (int64)."""
     import ray
 
-    from .windows import _approx_source_rows
+    from .windows import _approx_source_rows, _size_partitions
     from .functions.num import round_away
 
     ck_ref = ray.put(np.sort(np.asarray(cust_keys, dtype=np.int64)))
@@ -297,9 +305,11 @@ def shipping_revenue(
         od = pc.cast(
             batch["o_orderdate"].combine_chunks(), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cks, oc)
-        pos = np.minimum(pos, len(cks) - 1)
-        keep = (cks[pos] == oc) & (od < cutoff_us)
+        if len(cks):
+            pos = np.minimum(np.searchsorted(cks, oc), len(cks) - 1)
+            keep = (cks[pos] == oc) & (od < cutoff_us)
+        else:
+            keep = np.zeros(len(ok), dtype=bool)
         return pa.Table.from_pydict(
             {
                 "o_orderkey": pa.array(ok[keep], pa.int64()),
@@ -307,7 +317,11 @@ def shipping_revenue(
             }
         )
 
-    orders_q = orders_ds.map_batches(orders_skinny, batch_format="pyarrow")
+    # one orders scan: the skinny qualifying table feeds BOTH the Bloom
+    # build and the join side
+    orders_q = orders_ds.map_batches(
+        orders_skinny, batch_format="pyarrow"
+    ).materialize()
 
     # distributed Bloom build: per-block partial filters, OR-merged on the
     # driver — bytes are fixed by the (pre-filter) row estimate, not data
@@ -326,7 +340,9 @@ def shipping_revenue(
         return pa.Table.from_pydict({"bits": pa.array([bf.bits.tobytes()])})
 
     merged = proto
-    for r in orders_q.map_batches(bloom_partial, batch_format="pyarrow").take_all():
+    for r in orders_q.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).take_all():
         merged.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
     bloom_ref = ray.put(merged)
 
@@ -338,14 +354,19 @@ def shipping_revenue(
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         dc = batch["l_discount"].to_numpy(zero_copy_only=False)
         hit = bf.contains_many(_mix64(lk.astype(np.uint64)))
-        lk, rev = lk[hit], (ep * (1.0 - dc))[hit]
+        lk = lk[hit]
+        # exact integer hundredths-of-cents: cents * (100 - discount%),
+        # summed as int64 — immune to float association across blocks
+        cents = np.rint(ep[hit] * 100.0).astype(np.int64)
+        dpct = np.rint(dc[hit] * 100.0).astype(np.int64)
+        rev4 = cents * (100 - dpct)
         uniq, inv = np.unique(lk, return_inverse=True)
-        sums = np.zeros(len(uniq))
-        np.add.at(sums, inv, rev)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev4)
         return pa.Table.from_pydict(
             {
                 "l_orderkey": pa.array(uniq, pa.int64()),
-                "rev": pa.array(sums, pa.float64()),
+                "rev4": pa.array(sums, pa.int64()),
             }
         )
 
@@ -353,14 +374,18 @@ def shipping_revenue(
     if join_num_partitions is None:
         # data-scaled join partitions (the engine-wide sizing rule):
         # grow with the PROBE side's source rows, floor at 8
-        from .windows import _size_partitions
-
         cpus = int(ray.cluster_resources().get("CPU", 8)) if (
             ray.is_initialized()
         ) else 8
         join_num_partitions = _size_partitions(
             _approx_source_rows(lineitem_ds), cpus
         )
+    # pin the join aggregator pool's total CPU claim exactly as
+    # _hash_parts does for keyed exchanges — at the partition cap an
+    # unbudgeted pool (0.25 CPU x 128 partitions) would claim every core
+    from .stages.reassemble import _configure_hash_shuffle
+
+    _configure_hash_shuffle(li, join_num_partitions, 4.0)
     joined = li.join(
         orders_q,
         join_type="inner",
@@ -371,24 +396,40 @@ def shipping_revenue(
 
     from ray.data.aggregate import Sum
 
-    agg = joined.groupby(["l_orderkey", "o_orderdate_s"]).aggregate(Sum("rev"))
+    agg = joined.groupby(["l_orderkey", "o_orderdate_s"]).aggregate(
+        Sum("rev4")
+    )
 
-    def finish(batch: pa.Table) -> pa.Table:
+    def topn_block(batch: pa.Table) -> pa.Table:
+        rev = round_away(
+            batch["sum(rev4)"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            / 10_000.0,
+            2,
+        )
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        # cut on the ROUNDED value + orderkey — the oracle's ORDER BY
+        # refers to the rounded alias, so ties must break identically
+        keep = np.lexsort((ok, -rev))[:topn]
         return pa.Table.from_pydict(
             {
-                "l_orderkey": batch["l_orderkey"],
-                "o_orderdate_s": batch["o_orderdate_s"],
-                "revenue": pa.array(
-                    round_away(
-                        batch["sum(rev)"].to_numpy(zero_copy_only=False), 2
-                    ),
-                    pa.float64(),
-                ),
+                "l_orderkey": pa.array(ok[keep], pa.int64()),
+                "o_orderdate_s": batch["o_orderdate_s"].take(pa.array(keep)),
+                "revenue": pa.array(rev[keep], pa.float64()),
             }
         )
 
+    def topn_final(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ok, -rev))[:topn]
+        return batch.take(pa.array(keep))
+
+    # per-block partial top-n, then ONE single-block final cut — the
+    # repo's measured top-k rule (never sort().limit())
     return (
-        agg.map_batches(finish, batch_format="pyarrow")
-        .sort(["revenue", "l_orderkey"], descending=[True, False])
-        .limit(topn)
+        agg.map_batches(topn_block, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topn_final, batch_format="pyarrow", batch_size=None)
     )

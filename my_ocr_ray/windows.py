@@ -751,8 +751,10 @@ def active_users(events_ds, window_days: int = 7,
                  num_partitions: int | None = None):
     """Daily + trailing-window active users -> (day, dau, wau): distinct
     users active each day, and distinct users active in the
-    ``window_days`` window ENDING that day (the DAU/WAU pair; WAU windows
-    are evaluated on every day that has events).
+    ``window_days`` window ENDING that day (the DAU/WAU pair). Output
+    covers every day some window CONTAINS an event — including trailing
+    days with dau=0 whose window still holds earlier activity — matching
+    the SQL twin's fan-out semantics.
 
     Scale shape: events reduce map-side to distinct (user, day) pairs;
     ONE user-keyed hash exchange co-locates each user's days, so the

@@ -1113,7 +1113,7 @@ def test_pq_recall_and_determinism(ray_session):
     q = {"qids": np.array([0, 7, 100]), "vectors": X[[0, 7, 100]]}
     qref = ray.put(q)
     exact = brute_force_topk(ds, qref, k=5).take_all()
-    approx = pq_topk(ds, qref, books, k=5).take_all()
+    approx = pq_topk(pq_encode(ds, books), qref, books, k=5).take_all()
     ex = {}
     ap = {}
     for r in exact:
