@@ -322,6 +322,21 @@ def shipping_revenue(
     orders_q = orders_ds.map_batches(
         orders_skinny, batch_format="pyarrow"
     ).materialize()
+    if orders_q.count() == 0:
+        # no qualifying orders: an all-empty join side loses its schema
+        # inside the hash-shuffle aggregator ("no match for key field") —
+        # short-circuit to the typed empty result
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate_s": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     # distributed Bloom build: per-block partial filters, OR-merged on the
     # driver — bytes are fixed by the (pre-filter) row estimate, not data

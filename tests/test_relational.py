@@ -598,3 +598,34 @@ def test_event_window_ops_random_equivalence(ray_session):
         for r in active_users(ds, num_partitions=3).take_all()
     }
     assert got_au == exp_au
+
+
+def test_shipping_revenue_empty_customers(ray_session):
+    """An empty customer side yields zero rows, not an IndexError."""
+    import ray.data
+
+    from my_ocr_ray.relational import shipping_revenue
+
+    before = dt.datetime(1999, 6, 1)
+    orders = pa.Table.from_pydict(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([10], pa.int64()),
+            "o_orderdate": pa.array([before], pa.timestamp("us")),
+        }
+    )
+    lineitem = pa.Table.from_pydict(
+        {
+            "l_orderkey": pa.array([1], pa.int64()),
+            "l_extendedprice": pa.array([100.0], pa.float64()),
+            "l_discount": pa.array([0.0], pa.float64()),
+        }
+    )
+    out = shipping_revenue(
+        ray.data.from_arrow(lineitem),
+        ray.data.from_arrow(orders),
+        cust_keys=np.array([], dtype=np.int64),
+        cutoff_us=2**62,
+        join_num_partitions=2,
+    ).take_all()
+    assert out == []
