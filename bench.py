@@ -141,8 +141,7 @@ def main() -> None:
         # 32-CPU one (measured: 0.663 "efficiency" from exactly that, vs
         # 0.87-0.94 in any same-window sequential sweep). Each (8, 32) pair
         # runs back-to-back so both legs see the same machine state; the
-        # pair from the cleaner window (higher combined throughput) is the
-        # headline, and both pairs are reported.
+        # reported efficiency is the MEDIAN over the pairs (below).
         def one_run(cpus: int) -> float:
             cmd = [sys.executable, __file__, "--flagship-only",
                    "--cpus", str(cpus), "--n-docs", str(n_docs)]

@@ -29,6 +29,16 @@ from .functions.textproc import (
 )
 
 
+# Conservative per-document row-expansion estimates used ONLY for exchange
+# sizing: windows._approx_source_rows reports SOURCE rows (documents), but
+# gram/line/passage exchanges carry the EXPLODED rows, so sizing from doc
+# rows under-partitions by the expansion factor at scale (the factor is a
+# sizing heuristic, never a correctness input — partial counts stay exact).
+GRAMS_PER_DOC_EST = 256    # token-level gram keys (dup_span_stats)
+LINES_PER_DOC_EST = 32     # chunk-token line keys (drop_frequent_lines)
+PASSAGES_PER_DOC_EST = 8   # 64-token passage rows (passage ops)
+
+
 def _nonempty(ds):
     """Dataset rebuilt from ds's non-empty materialized blocks, or None
     when every block is empty (refs move, bytes stay put).
@@ -1090,10 +1100,15 @@ def passage_dedup(docs_ds, chunk: int = 20, num_partitions: int | None = None):
             }
         )
 
+    from .windows import _approx_source_rows as _src_rows
+
+    est_docs = _src_rows(docs_ds)
+    passage_rows = (est_docs or 0) * PASSAGES_PER_DOC_EST or None
     parts = _hash_parts(
         docs_ds.map_batches(passages, batch_format="pyarrow"),
         ["h"],
         num_partitions,
+        approx_rows=passage_rows,
     ).map_batches(owner_counts, batch_format="pyarrow", batch_size=None)
     # second skinny exchange co-locates each doc's per-block partials; the
     # combine is one vectorized bincount per block (a Ray groupby here
@@ -1458,7 +1473,11 @@ def _scrub_passages_join(docs_ds, drops, chunk: int,
             if ray.is_initialized()
             else 8
         )
-        num_partitions = _size_partitions(_approx_source_rows(docs_ds), cpus)
+        # the join carries EXPLODED rows, not documents — size accordingly
+        est = _approx_source_rows(docs_ds)
+        num_partitions = _size_partitions(
+            est * PASSAGES_PER_DOC_EST if est else None, cpus
+        )
 
     def keyed_passages(batch: pa.Table) -> pa.Table:
         p = _passage_rows(batch, chunk, with_text=True)
@@ -1600,11 +1619,15 @@ def drop_frequent_lines(docs_ds, chunk: int = 5, min_count: int = 3,
             {"key": denc.dictionary.filter(pa.array(tot >= min_count))}
         )
 
+    from .windows import _approx_source_rows as _src_rows
+
+    est_docs = _src_rows(docs_ds)
     drops = (
         _hash_parts(
             docs_ds.map_batches(skinny_counts, batch_format="pyarrow"),
             ["h"],
             num_partitions,
+            approx_rows=(est_docs or 0) * LINES_PER_DOC_EST or None,
         )
         .map_batches(frequent, batch_format="pyarrow", batch_size=None)
         .materialize()
@@ -1796,11 +1819,15 @@ def dup_span_stats(docs_ds, n: int = 8, num_partitions: int | None = None,
         uk = ks[np.concatenate(([True], ks[1:] != ks[:-1]))]
         return pa.Table.from_pydict({"key": pa.array(uk[tot >= 2], pa.int64())})
 
+    from .windows import _approx_source_rows as _src_rows
+
+    est_docs = _src_rows(docs_ds)
     dups = (
         _hash_parts(
             docs_ds.map_batches(skinny_counts, batch_format="pyarrow"),
             ["key"],
             num_partitions,
+            approx_rows=(est_docs or 0) * GRAMS_PER_DOC_EST or None,
         )
         .map_batches(dup_keys, batch_format="pyarrow", batch_size=None)
         .materialize()
@@ -1857,7 +1884,11 @@ def _dup_span_stats_join(docs_ds, dups, n: int,
             if ray.is_initialized()
             else 8
         )
-        num_partitions = _size_partitions(_approx_source_rows(docs_ds), cpus)
+        # the join carries EXPLODED rows, not documents — size accordingly
+        est = _approx_source_rows(docs_ds)
+        num_partitions = _size_partitions(
+            est * GRAMS_PER_DOC_EST if est else None, cpus
+        )
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         doc_row, s, key, tok_counts = _gram_keys(batch, n)

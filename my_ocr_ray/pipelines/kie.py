@@ -74,7 +74,7 @@ def _bucket_edges(bucket: np.ndarray) -> list[tuple[int, int]]:
 
 class KIEGraphStage:
     """Actor-pool stage: documents block -> per-doc table-structure metrics
-    (doc_id, n_cells, n_num, n_link, row_f1, col_f1, rowcol_f1).
+    (doc_id, n_cells, n_num, n_obj, row_f1, col_f1, rowcol_f1).
 
     Setup (regex compile) happens once per actor in ``__init__``; ``__call__``
     is per-batch. Cell boxes go through ``sort_vertex8`` — the same

@@ -532,10 +532,10 @@ def q_flagship_extract(sf_dir: str, n_docs: int | None = None):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
-def q_ocr_eval(sf_dir: str):
-    """End-to-end extraction accuracy vs the golden corpus as a 1-row table
-    (rows-only check: OCR semantics have no SQL expression). The expected
-    values are exactly 1.0 — the engine's reference-parity proof."""
+def _golden_accuracy(sf_dir: str, n_docs_cap: int, **ocr_stage_kwargs):
+    """Shared golden-corpus accuracy drive behind q_ocr_eval / q_rotate_tta:
+    build (or reuse) the seed-17 golden corpus, extract with a capped actor
+    pool (accuracy check, not a throughput run), compare span-for-span."""
     import glob
 
     import pyarrow.dataset as pads
@@ -548,22 +548,33 @@ def q_ocr_eval(sf_dir: str):
     from .extract import extract, load_media_lookup
 
     n_docs = min(
-        500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        n_docs_cap,
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows,
     )
     corpus = ensure_corpus(n_docs, seed=17)
     lookup = load_media_lookup(sorted(glob.glob(f"{corpus}/media/*.parquet")))
     out = extract(
-        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
+        ray.data.read_parquet(
+            sorted(glob.glob(f"{corpus}/documents/*.parquet"))
+        ),
         media_lookup_ref=lookup,
-        # 500-doc eval input: the cluster-sized actor pool would be pure
-        # startup cost, so cap it — the accuracy check is not a throughput run
+        # small eval input: the cluster-sized actor pool would be pure
+        # startup cost, so cap it
         ocr_concurrency=4,
+        **({"ocr_stage_kwargs": ocr_stage_kwargs} if ocr_stage_kwargs else {}),
     )
     expected = pads.dataset(
         sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
     ).to_table()
     acc = extraction_accuracy(out, expected)
     return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
+
+
+def q_ocr_eval(sf_dir: str):
+    """End-to-end extraction accuracy vs the golden corpus as a 1-row table
+    (rows-only check: OCR semantics have no SQL expression). The expected
+    values are exactly 1.0 — the engine's reference-parity proof."""
+    return _golden_accuracy(sf_dir, 500)
 
 
 def q_rotate_tta(sf_dir: str):
@@ -574,33 +585,7 @@ def q_rotate_tta(sf_dir: str):
     aug_test semantics) — on the upright corpus the vote must be a no-op,
     so the expected metrics are exactly 1.0, same as ocr_eval; the
     upside-down recovery case is pinned by the golden unit test."""
-    import glob
-
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    import ray.data
-
-    from ..synth import ensure_corpus
-    from .evaluate import extraction_accuracy
-    from .extract import extract, load_media_lookup
-
-    n_docs = min(
-        200, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    )
-    corpus = ensure_corpus(n_docs, seed=17)
-    lookup = load_media_lookup(sorted(glob.glob(f"{corpus}/media/*.parquet")))
-    out = extract(
-        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/documents/*.parquet"))),
-        media_lookup_ref=lookup,
-        ocr_concurrency=4,
-        ocr_stage_kwargs={"tta_rotations": 2},
-    )
-    expected = pads.dataset(
-        sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
-    ).to_table()
-    acc = extraction_accuracy(out, expected)
-    return pa.Table.from_pydict({k: [v] for k, v in acc.items()})
+    return _golden_accuracy(sf_dir, 200, tta_rotations=2)
 
 
 # ---------------------------------------------------------------------------

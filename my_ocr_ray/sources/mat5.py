@@ -65,7 +65,12 @@ def _iter_elements(buf: memoryview, pos: int, end: int):
         mi, nbytes = word0, word1
         yield mi, buf[pos + 8 : pos + 8 + nbytes]
         pos += 8 + nbytes
-        pos += (-pos) % 8  # element payloads pad to 8-byte boundaries
+        if mi != _MI_COMPRESSED:
+            # element payloads pad to 8-byte boundaries — EXCEPT
+            # miCOMPRESSED, which the MAT5 spec exempts; padding it
+            # would misalign every element after the first compressed
+            # variable in a multi-variable file
+            pos += (-pos) % 8
 
 
 def _read_numeric(mi: int, payload: memoryview) -> np.ndarray:

@@ -182,10 +182,13 @@ def _hash_parts(ds, keys, num_partitions: int | None = None,
     Partition count is DATA-SCALED: estimated input rows /
     ``rows_per_partition``, floored at min(8, cpus) and capped at 4x CPUs
     (512 max) — so the same call that runs 8 partitions at bench scale
-    plans hundreds at 100 TB.  The aggregator pool's total CPU claim stays
-    at ``aggregator_cpu_budget`` regardless (``_configure_hash_shuffle``
-    divides it across partitions), so growing data never starves
-    neighbouring actor pools."""
+    plans hundreds at 100 TB.  The aggregator pool's total CPU claim is
+    bounded by max(``aggregator_cpu_budget``, 0.02 x partitions):
+    ``_configure_hash_shuffle`` divides the budget across partitions but
+    keeps a 0.02-CPU floor per aggregator, so past budget/0.02 = 200
+    partitions the claim grows with the 0.02 floor — still <= 0.02 x
+    (4 x cpus) = 8% of the cluster at the partition cap, so growing data
+    never starves neighbouring actor pools."""
     import ray
 
     from .stages.reassemble import _configure_hash_shuffle

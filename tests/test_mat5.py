@@ -128,3 +128,27 @@ def test_ingest_det_dataset_totaltext(ray_session, tmp_path):
     anns = rows["a.png"]["annotations"]
     assert len(anns) == 3  # '#' ignore row skipped
     assert anns[0]["bbox"] == [10.0, 5.0, 40.0, 20.0]
+
+
+def test_multi_variable_compressed_no_padding():
+    """MAT5 exempts miCOMPRESSED elements from 8-byte padding: a second
+    compressed variable directly after an odd-length first one must still
+    parse (the reader used to pad past its tag)."""
+    import struct
+    import zlib
+
+    from my_ocr_ray.sources.mat5 import loadmat_bytes
+
+    v1 = _double([1.0, 2.0], name=b"a")
+    v2 = _double([3.0], name=b"b")
+    c1 = zlib.compress(v1)
+    # force an odd compressed length so the element ends off-boundary
+    if len(c1) % 8 == 0:
+        c1 = zlib.compress(v1, 1)
+    e1 = struct.pack("<II", 15, len(c1)) + c1  # no padding, per spec
+    e2 = struct.pack("<II", 15, len(zlib.compress(v2))) + zlib.compress(v2)
+    header = (b"MATLAB 5.0 MAT-file, test fixture".ljust(116) + b"\x00" * 8
+              + struct.pack("<H", 0x0100) + b"IM")
+    out = loadmat_bytes(header + e1 + e2)
+    assert set(out) == {"a", "b"}
+    assert out["b"].ravel().tolist() == [3.0]
