@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_prune": Q.q_semdedup_prune,  # rows-only: same candidates
         "neardup_edit": Q.q_neardup_edit,
         "compress_ratio": Q.q_compress_ratio,  # rows-only: no SQL zlib
+        "media_thumbs": Q.q_media_thumbs,  # rows-only: no SQL image codec
         "validate": Q.q_validate,
     }
 

@@ -2517,3 +2517,48 @@ def neardup_edit_stats(
         )
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def media_thumbnails(media_ds, max_side: int = 32):
+    """Multimodal decode -> transform -> re-encode stage -> (media_ref,
+    width, height, thumb_w, thumb_h, thumb_bytes, thumb_ahash): each PNG
+    decodes, shrinks to an aspect-preserving ``max_side`` bilinear
+    thumbnail, re-encodes, and carries its perceptual hash — the
+    image-pipeline unit (resize for preview/indexing, hash for dedup)
+    every multimodal corpus run needs, with the REAL codec kernels the
+    engine renders its own media with (``functions/imaging.py``: pure
+    numpy+zlib PNG, no external image libs).
+
+    Scale shape: per-image decode is inherent; the stage is a stateless
+    map (plain task pool) and the output is thumbnail-sized — safe to
+    materialize or sink regardless of source image sizes."""
+    from .functions.imaging import ahash64, png_decode, png_encode, thumbnail
+
+    def thumb_batch(batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        ws = np.empty(len(data), np.int64)
+        hs = np.empty(len(data), np.int64)
+        tws = np.empty(len(data), np.int64)
+        ths = np.empty(len(data), np.int64)
+        hashes = np.empty(len(data), np.uint64)
+        blobs = []
+        for i, b in enumerate(data):
+            img = png_decode(b)
+            hs[i], ws[i] = img.shape[:2]
+            th = thumbnail(img, max_side=max_side)
+            ths[i], tws[i] = th.shape[:2]
+            blobs.append(png_encode(th))
+            hashes[i] = ahash64(th)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": batch["media_ref"],
+                "width": pa.array(ws),
+                "height": pa.array(hs),
+                "thumb_w": pa.array(tws),
+                "thumb_h": pa.array(ths),
+                "thumb_bytes": pa.array(blobs, pa.binary()),
+                "thumb_ahash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    return media_ds.map_batches(thumb_batch, batch_format="pyarrow")

@@ -214,3 +214,20 @@ def ahash64(img: np.ndarray, grid: int = 8) -> int:
             cells[r, c] = block.mean() if block.size else 0.0
     bits = (cells >= cells.mean()).ravel()
     return int(np.packbits(bits).view(">u8")[0])
+
+
+def thumbnail(img: "np.ndarray", max_side: int = 32) -> "np.ndarray":
+    """Aspect-preserving bilinear thumbnail: longest side shrinks to
+    ``max_side`` (images already within budget pass through untouched);
+    output stays uint8. The decode/transform/re-encode unit behind the
+    multimodal thumbnail stage."""
+    from ..functions.imgops import resize_bilinear
+
+    h, w = img.shape[:2]
+    scale = max_side / max(h, w)
+    if scale >= 1.0:
+        return img
+    th = max(1, int(round(h * scale)))
+    tw = max(1, int(round(w * scale)))
+    out = resize_bilinear(img.astype(np.float64), th, tw)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)

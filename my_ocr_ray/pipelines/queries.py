@@ -2200,3 +2200,25 @@ def q_compress_ratio(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         compress_ratio_batch, batch_format="pyarrow"
     )
+
+
+def q_media_thumbs(sf_dir: str, n_docs: int | None = None):
+    """Multimodal thumbnail stage over the corpus's rendered PNG media
+    (rows-only: no SQL image codec; determinism + geometry pinned in
+    tests)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..dedup import media_thumbnails
+    from ..synth import ensure_corpus
+
+    if n_docs is None:
+        n_docs = min(
+            500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        )
+    corpus = ensure_corpus(n_docs, seed=13)
+    media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    return media_thumbnails(media, max_side=32)

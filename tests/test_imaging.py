@@ -62,3 +62,28 @@ def test_png_roundtrip():
 def test_png_deterministic():
     img = render_text_image(["ABC"], scale=1)
     assert png_encode(img) == png_encode(img.copy())
+
+
+def test_thumbnail_geometry_and_determinism():
+    """Aspect preserved, longest side == max_side, small images pass
+    through, round-trip through PNG is exact, hash deterministic."""
+    import numpy as np
+
+    from my_ocr_ray.functions.imaging import (
+        ahash64,
+        png_decode,
+        png_encode,
+        render_text_image,
+        thumbnail,
+    )
+
+    img = render_text_image(["HELLO WORLD", "SECOND LINE"], scale=2)
+    h, w = img.shape[:2]
+    th = thumbnail(img, max_side=32)
+    assert max(th.shape[:2]) == 32
+    assert abs(th.shape[1] / th.shape[0] - w / h) < 0.2  # aspect kept
+    assert th.dtype == np.uint8
+    assert np.array_equal(png_decode(png_encode(th)), th)
+    assert ahash64(th) == ahash64(thumbnail(img, max_side=32))
+    small = img[:8, :8]
+    assert thumbnail(small, max_side=32) is small  # pass-through
