@@ -347,3 +347,57 @@ def _winnow_local(t):
 
     _d.winnow_fingerprints(_FakeDS(), k=5, w=4)
     return captured["out"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abXY9.") + list(__import__(
+                    "my_ocr_ray.functions.textproc", fromlist=["WS_CHARS"]
+                ).WS_CHARS) + ["é", "ß", "中"]
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_normalize_text_matches_duckdb_property(texts):
+    """The normalize_text kernel (NFC + shared whitespace class + space
+    trim) equals its DuckDB oracle expression on arbitrary strings drawn
+    from the whitespace class plus multilingual letters."""
+    import duckdb
+    import pyarrow as pa
+
+    from my_ocr_ray.analysis import normalize_text  # noqa: F401  (kernel twin)
+    from my_ocr_ray.functions.textproc import WS_CLASS_RE
+
+    # run the kernel body directly (no Ray): same code path normalize_text
+    # maps over batches
+    import unicodedata
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, pa.string())
+    non_ascii = pc.greater(
+        pc.count_substring_regex(arr, r"[^\x00-\x7F]"), 0
+    ).to_numpy(zero_copy_only=False)
+    vals = arr.to_pylist()
+    for k in np.flatnonzero(non_ascii):
+        vals[k] = unicodedata.normalize("NFC", vals[k])
+    ray_out = pc.utf8_trim(
+        pc.replace_substring_regex(pa.array(vals, pa.string()),
+                                   WS_CLASS_RE, " "),
+        characters=" ",
+    ).to_pylist()
+
+    con = duckdb.connect()
+    for t, r in zip(texts, ray_out):
+        s = con.execute(
+            "select trim(regexp_replace(nfc_normalize(?), ?, ' ', 'g'), ' ')",
+            [t, WS_CLASS_RE],
+        ).fetchone()[0]
+        assert r == s, (t.encode(), r.encode(), s.encode())
