@@ -695,9 +695,15 @@ def zscore_by_source(docs_ds):
                 "ss": pa.array(x * x),
             }
         )
-        return t.group_by("source").aggregate(
+        g = t.group_by("source").aggregate(
             [("cnt", "sum"), ("s", "sum"), ("ss", "sum")]
-        ).rename_columns(["source", "cnt", "s", "ss"])
+        )
+        # select by NAME: key-column position in TableGroupBy.aggregate
+        # output has flipped across pyarrow versions (keys-first vs last)
+        return pa.Table.from_arrays(
+            [g["source"], g["cnt_sum"], g["s_sum"], g["ss_sum"]],
+            names=["source", "cnt", "s", "ss"],
+        )
 
     stats = (
         docs_ds.select_columns(["source", "n_chars"])

@@ -452,6 +452,8 @@ def _cov_stats(emb_ds):
         .aggregate(Sum("v"))
         .take_all()  # d^2 + d + 1 rows — driver-trivial for model dims
     )
+    if not rows:  # empty embeddings dataset -> typed empty stats
+        return np.zeros((0, 0)), np.zeros(0), 0.0
     d = 1 + max(r["i"] for r in rows)
     S = np.zeros((d, d))
     cs = np.zeros(d)

@@ -1010,7 +1010,7 @@ def _map_oov(toks: pa.Array, vocab: pa.Array) -> pa.Array:
     return pc.if_else(pc.is_valid(pos), toks, pa.scalar("<unk>"))
 
 
-def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int = 1_000_000):
+def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int | None = None):
     """Per-doc mean log-probability under an add-k-smoothed corpus
     bigram model — the distributed form of the n-gram-LM quality filter
     (CCNet-style perplexity ranking): vocab pass = :func:`top_token_vocab`
@@ -1025,30 +1025,42 @@ def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int = 1_000_000):
     over its adjacent pairs (docs with <2 tokens drop out, as in the SQL
     twin). At the default cap this is value-identical to the uncapped
     model whenever the vocabulary fits the cap (the ``bigram_lm`` oracle);
-    ``bigram_lm_capped`` pins the binding-cap semantics."""
+    ``bigram_lm_capped`` pins the binding-cap semantics.
+
+    ``vocab_cap=None`` (the default) is the UNCAPPED fast path: no vocab
+    pass, no token remapping — two full stages cheaper (the r3 cap
+    machinery cost the uncapped query ~9x; every ``<unk>`` mapping with a
+    non-binding cap is the identity, so skipping it is value-identical).
+    Pass a finite cap only when the vocabulary must be bounded."""
     import ray
 
-    vocab = top_token_vocab(docs_ds, vocab_cap)
-    vocab_ref = ray.put(vocab)
+    if vocab_cap is None:
+        vocab_ref = None
+        mapped = docs_ds
+    else:
+        vocab = top_token_vocab(docs_ds, vocab_cap)
+        vocab_ref = ray.put(vocab)
 
-    def mapped_docs(batch: pa.Table, vocab_ref=vocab_ref) -> pa.Table:
-        voc = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
-        toks, rows, n_rows = flat_tokens(batch["text"])
-        if len(toks) == 0:
-            return pa.Table.from_pydict(
-                {"doc_id": batch["doc_id"], "text": batch["text"]}
-            )
-        m = _map_oov(toks, voc)
-        # rebuild per-row text from mapped tokens (single binary_join over
-        # a list array sliced by row offsets)
-        cnt = np.bincount(rows, minlength=n_rows)
-        offsets = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                       m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m)
-        joined = pc.binary_join(lst, " ")
-        return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": joined})
+    if vocab_cap is not None:
 
-    mapped = docs_ds.map_batches(mapped_docs, batch_format="pyarrow")
+        def mapped_docs(batch: pa.Table, vocab_ref=vocab_ref) -> pa.Table:
+            voc = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+            toks, rows, n_rows = flat_tokens(batch["text"])
+            if len(toks) == 0:
+                return pa.Table.from_pydict(
+                    {"doc_id": batch["doc_id"], "text": batch["text"]}
+                )
+            m = _map_oov(toks, voc)
+            # rebuild per-row text from mapped tokens (single binary_join over
+            # a list array sliced by row offsets)
+            cnt = np.bincount(rows, minlength=n_rows)
+            offsets = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m)
+            joined = pc.binary_join(lst, " ")
+            return pa.Table.from_pydict({"doc_id": batch["doc_id"], "text": joined})
+
+        mapped = docs_ds.map_batches(mapped_docs, batch_format="pyarrow")
     bc = _collect_small(bigram_counts(mapped))  # <= cap²-bounded
     pair_col = bc["pair"].combine_chunks()
     c_col = pc.cast(bc["c"], pa.int64()).combine_chunks()
@@ -1085,7 +1097,8 @@ def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int = 1_000_000):
         toks, rows, n_rows = flat_tokens(batch["text"])
         if len(toks) < 2:
             return empty
-        toks = _map_oov(toks, voc)
+        if voc is not None:  # uncapped fast path skips the identity remap
+            toks = _map_oov(toks, voc)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         same = rows[1:] == rows[:-1]

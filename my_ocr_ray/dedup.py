@@ -442,6 +442,10 @@ def split_leakage(docs_ds, num_hashes: int = 4, band_size: int = 2, k: int = 3,
             [batch["doc_id"], batch["text"]], names=["doc_b", "text_b"]
         )
 
+    from .stages.reassemble import _configure_hash_shuffle
+
+    # pin the join aggregator pools' CPU claim (fixed budget / partitions)
+    _configure_hash_shuffle(pairs, num_partitions, 4.0)
     j = pairs.join(
         docs_ds.map_batches(as_a, batch_format="pyarrow"),
         join_type="inner", num_partitions=num_partitions, on=("doc_a",),
@@ -1273,6 +1277,13 @@ def incremental_dedup(new_docs_ds, known_docs_ds, path: str | None = None,
             num_partitions = _size_partitions(
                 _approx_source_rows(known_docs_ds), cpus
             )
+        from .stages.reassemble import _configure_hash_shuffle
+
+        # pin the join aggregator pool's CPU claim (fixed total budget /
+        # partitions) — without this Ray's min(1, CPU/2/partitions)
+        # heuristic can claim ~half the cluster and contend with
+        # neighbouring actor pools (the CLAUDE.md resource-fit invariant)
+        _configure_hash_shuffle(new_fps, num_partitions, 4.0)
         fresh = new_fps.join(
             known_fps.select_columns(["fp"]),
             join_type="left_anti",
@@ -2448,6 +2459,11 @@ def neardup_edit_stats(
             [batch["doc_id"], batch["text"]], names=["doc_b", "text_b"]
         )
 
+    from .stages.reassemble import _configure_hash_shuffle
+
+    # pin the two id-keyed join aggregator pools' CPU claim (same fixed
+    # budget as shipping_revenue) so they never contend with neighbours
+    _configure_hash_shuffle(pairs, num_partitions, 4.0)
     j = pairs.join(
         docs_ds.map_batches(as_a, batch_format="pyarrow"),
         join_type="inner", num_partitions=num_partitions, on=("doc_a",),
@@ -2476,6 +2492,12 @@ def neardup_edit_stats(
         except ImportError:
             pass
 
+        # BEST-EFFORT fallback (duckdb absent): pure-Python Levenshtein
+        # over Python codepoints. DuckDB's levenshtein defines the oracle
+        # contract; on non-ASCII text the two implementations may count
+        # differently (grapheme/encoding semantics), so environments that
+        # need oracle parity must have duckdb installed — this path exists
+        # only so the operator still runs without it.
         ta = batch["text_a"].to_pylist()
         tb = batch["text_b"].to_pylist()
 

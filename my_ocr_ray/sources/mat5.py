@@ -83,20 +83,28 @@ def _parse_matrix(payload: memoryview):
     """One miMATRIX payload -> (name, value). value is a numpy array
     (numeric, order='F' reshaped), a str (char array rows joined for 1-row
     arrays, else list of row strings), or a nested object array (cell)."""
+    def _next(what: str, *, optional: bool = False):
+        # a zero-element numeric/char array may be written without a
+        # trailing data subelement; anything else missing is a truncation
+        e = next(elems, None)
+        if e is None and not optional:
+            raise ValueError(f"truncated miMATRIX element: missing {what}")
+        return e
+
     elems = _iter_elements(payload, 0, len(payload))
-    mi, flags_raw = next(elems)
+    mi, flags_raw = _next("array flags")
     flags = _read_numeric(mi, flags_raw).view(np.uint32)
     mx_class = int(flags[0] & 0xFF)
-    mi, dims_raw = next(elems)
+    mi, dims_raw = _next("dimensions")
     dims = tuple(int(d) for d in _read_numeric(mi, dims_raw))
-    mi, name_raw = next(elems)
+    mi, name_raw = _next("array name")
     name = bytes(name_raw).decode("ascii", errors="replace")
 
     if mx_class == _MX_CELL:
         n = int(np.prod(dims)) if dims else 0
         cells = []
         for _ in range(n):
-            mi, cell_payload = next(elems)
+            mi, cell_payload = _next("cell subelement")
             if mi != _MI_MATRIX:
                 raise ValueError("cell subelement is not miMATRIX")
             cells.append(_parse_matrix(cell_payload)[1])
@@ -107,7 +115,10 @@ def _parse_matrix(payload: memoryview):
         return name, out.reshape(dims, order="F") if dims else out
 
     if mx_class == _MX_CHAR:
-        mi, data_raw = next(elems)
+        e = _next("char data", optional=int(np.prod(dims)) == 0 if dims else True)
+        if e is None:  # zero-element char array without a data element
+            return name, ""
+        mi, data_raw = e
         if mi in (_MI_UINT16, _MI_UTF16):
             codes = np.frombuffer(data_raw, dtype="<u2")
             chars = "".join(map(chr, codes))
@@ -123,7 +134,13 @@ def _parse_matrix(payload: memoryview):
         return name, chars
 
     if mx_class in _MX_NUMERIC:
-        mi, data_raw = next(elems)
+        e = _next("numeric data", optional=int(np.prod(dims)) == 0 if dims else True)
+        if e is None:  # zero-element numeric array without a data element
+            arr = np.zeros(0, dtype=np.float64)
+            if dims:
+                arr = arr.reshape(dims, order="F")
+            return name, arr
+        mi, data_raw = e
         arr = _read_numeric(mi, data_raw)
         if int(flags[0]) & 0x0800:  # complex flag
             raise ValueError("complex arrays unsupported")

@@ -844,3 +844,8 @@ def test_capped_equals_uncapped_when_cap_not_binding(ray_session):
     lb = sorted((r["doc_id"], r["avg_logp"]) for r in
                 bigram_lm_scores(ds, vocab_cap=4).take_all())
     assert la == lb
+    # vocab_cap=None = the uncapped FAST path (no vocab pass, no remap):
+    # value-identical to any non-binding cap
+    ln = sorted((r["doc_id"], r["avg_logp"]) for r in
+                bigram_lm_scores(ds, vocab_cap=None).take_all())
+    assert ln == la
