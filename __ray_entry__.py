@@ -189,7 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": Q.q_exact_dedup,
         "lsh_pairs": Q.q_lsh_pairs,
         "dedup_clusters": Q.q_dedup_clusters,
-        "winnow_pairs": Q.q_winnow_pairs,
         "embedding_dups": Q.q_embedding_dups,
         "passage_dedup": Q.q_passage_dedup,
         "drop_dup_passages": Q.q_drop_dup_passages,
@@ -209,7 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_strata": Q.q_mix_strata,
         "weighted_sample": Q.q_weighted_sample,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
+        "html_extract": Q.q_html_extract,
         # --- past the driver's 50-entry window (same families) ---
+        "winnow_pairs": Q.q_winnow_pairs,
         "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
@@ -638,6 +639,18 @@ def oracle_sql() -> dict[str, str]:
               FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS dsir_logratio
         FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "html_extract": f"""
+        WITH n AS (SELECT doc_id,
+                          trim(regexp_replace(text, '{_WS}', ' ', 'g'),
+                               ' ') AS main_text
+                   FROM documents)
+        SELECT doc_id, main_text,
+               CAST(CASE WHEN main_text <> '' THEN 2 ELSE 1 END AS BIGINT)
+                 AS n_blocks,
+               CAST(CASE WHEN main_text <> '' THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_kept
+        FROM n
         """,
         "normalize_text": f"""
         SELECT doc_id,

@@ -2222,3 +2222,39 @@ def q_media_thumbs(sf_dir: str, n_docs: int | None = None):
     corpus = ensure_corpus(n_docs, seed=13)
     media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
     return media_thumbnails(media, max_side=32)
+
+
+def q_html_extract(sf_dir: str):
+    """HTML boilerplate stripping (north-star headline component): render
+    each document as a deterministic HTML page (``synth.wrap_html_doc`` —
+    skip-tag nav/aside/footer, a link-farm div, main content in one
+    ``<article><p>``) and run the CETD-style text/link-density extractor
+    (``functions/html.py: extract_main_html``). The page construction
+    provably keeps exactly the content block, so the DuckDB oracle is plain
+    whitespace normalization of the source text. HTML parsing is an
+    inherently per-document kernel (stdlib ``HTMLParser``); the stage is a
+    stateless ``map_batches`` over pruned (doc_id, text) columns."""
+    from ..functions.html import extract_main_html, html_blocks
+    from ..synth import wrap_html_doc
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        main, nb, nk = [], [], []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            page = wrap_html_doc(d, t)
+            main_text = extract_main_html(page)
+            main.append(main_text)
+            nb.append(len(html_blocks(page)))
+            nk.append(main_text.count("\n") + 1 if main_text else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "main_text": pa.array(main, pa.string()),
+                "n_blocks": pa.array(nb, pa.int64()),
+                "n_kept": pa.array(nk, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow"
+    )

@@ -154,6 +154,45 @@ def expected_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.
     return {"doc_id": doc["doc_id"], "spans": out}
 
 
+def wrap_html_doc(doc_id, text: str) -> str:
+    """Deterministic HTML page around a document's text.
+
+    Layout (chosen so :func:`my_ocr_ray.functions.html.extract_main_html`
+    PROVABLY recovers exactly the whitespace-normalized text, which makes the
+    extraction SQL-oracle-checkable):
+
+    - ``<head>``/``<nav>``/``<aside>``/``<footer>`` boilerplate — skip-tags,
+      never parsed into blocks regardless of scoring;
+    - a link-farm ``<div>`` of 1–3 anchors with NO inter-anchor whitespace —
+      link_density exactly 1.0, dropped by ``max_link_density`` (and its
+      score is 0, so it never sets the block maximum);
+    - the content in a single ``<article><p>`` — the only positive-score
+      block, hence always kept by any threshold_ratio.
+
+    Boilerplate wording varies with ``doc_id`` so the page bytes are not a
+    constant template. Accepts int doc_ids (testdata) and the synthetic
+    corpus' ``doc-%08d`` strings.
+    """
+    import html as _html
+
+    s = str(doc_id)
+    k = int(s.rsplit("-", 1)[-1]) if not s.lstrip("-").isdigit() else int(s)
+    links = "".join(
+        f'<a href="/{w}">{w}</a>'
+        for w in (_NAV_WORDS[(k + j) % len(_NAV_WORDS)] for j in range(1 + k % 3))
+    )
+    nav = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in _NAV_WORDS[: 2 + k % 4]
+    )
+    return (
+        "<html><head><title>synthetic</title><style>p{margin:0}</style></head>"
+        f"<body><nav>{nav}</nav><div class=\"links\">{links}</div>"
+        f"<article><p>{_html.escape(text)}</p></article>"
+        f"<aside>related item {k % 7}</aside>"
+        f"<footer>copyright {2000 + k % 26}</footer></body></html>"
+    )
+
+
 def _rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
     cols = {f.name: [r[f.name] for r in rows] for f in schema}
     return pa.Table.from_pydict(cols, schema=schema)

@@ -34,3 +34,31 @@ def test_main_content_extracted_boilerplate_dropped():
 def test_empty_html():
     assert extract_main_html("") == ""
     assert extract_main_html("<div></div>") == ""
+
+
+def test_wrap_html_doc_roundtrip():
+    from my_ocr_ray.synth import wrap_html_doc
+
+    cases = [
+        (0, "plain words here"),
+        (7, "  leading   and   trailing  spaces  "),
+        (42, "special <chars> & \"entities\" 'quoted'"),
+        ("doc-00000013", "synthetic corpus id form"),
+        (5, ""),
+        (6, "   "),
+    ]
+    for doc_id, text in cases:
+        page = wrap_html_doc(doc_id, text)
+        expect = " ".join(text.split())
+        assert extract_main_html(page) == expect, (doc_id, text)
+
+
+def test_wrap_html_doc_block_counts():
+    from my_ocr_ray.synth import wrap_html_doc
+
+    # content + link-farm when text nonempty; link-farm only when empty
+    assert len(html_blocks(wrap_html_doc(3, "body text"))) == 2
+    assert len(html_blocks(wrap_html_doc(3, ""))) == 1
+    # link-farm div has link_density exactly 1.0 -> dropped by density
+    farm = [b for b in html_blocks(wrap_html_doc(3, "x")) if b["link_density"] == 1.0]
+    assert len(farm) == 1 and farm[0]["score"] == 0.0
