@@ -191,7 +191,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "embedding_dups": Q.q_embedding_dups,
         "passage_dedup": Q.q_passage_dedup,
-        "drop_dup_passages": Q.q_drop_dup_passages,
         "incremental_dedup": Q.q_incremental_dedup,
         "split_leakage": Q.q_split_leakage,
         "ann_topk": Q.q_ann_topk,
@@ -209,8 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": Q.q_weighted_sample,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "html_extract": Q.q_html_extract,
+        "pdf_layout": Q.q_pdf_layout,
         # --- past the driver's 50-entry window (same families) ---
         "winnow_pairs": Q.q_winnow_pairs,
+        "drop_dup_passages": Q.q_drop_dup_passages,
         "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
@@ -639,6 +640,35 @@ def oracle_sql() -> dict[str, str]:
               FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
         SELECT d.doc_id, round(coalesce(s.m, 0.0), 6) AS dsir_logratio
         FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "pdf_layout": r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                      FROM documents),
+        lines AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS ln,
+                 array_to_string(t[(i-1)*6+1 : i*6], ' ') AS lt
+          FROM toks,
+               unnest(generate_series(1, CAST(ceil(len(t)/6.0) AS INT)))
+                 AS u(i)),
+        txt AS (
+          SELECT doc_id, ln // 12 AS page, ln % 12 AS block_order,
+                 'text' AS kind, lt AS text,
+                 CAST(72 AS DOUBLE) AS x0,
+                 CAST(60 + 16*(ln % 12) AS DOUBLE) AS y0,
+                 round(72 + CAST(7.2 AS DOUBLE)*length(lt), 1) AS x1,
+                 CAST(72 + 16*(ln % 12) AS DOUBLE) AS y1
+          FROM lines),
+        img AS (
+          SELECT d.doc_id, CAST(0 AS BIGINT) AS page,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS block_order,
+                 'image' AS kind, '' AS text,
+                 CAST(72 AS DOUBLE) AS x0, CAST(704 AS DOUBLE) AS y0,
+                 CAST(136 AS DOUBLE) AS x1, CAST(752 AS DOUBLE) AS y1
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, count(*) AS n FROM lines
+                     WHERE ln < 12 GROUP BY doc_id) c USING (doc_id)
+          WHERE d.doc_id % 2 = 0)
+        SELECT * FROM txt UNION ALL SELECT * FROM img
         """,
         "html_extract": f"""
         WITH n AS (SELECT doc_id,

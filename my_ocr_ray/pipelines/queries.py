@@ -2258,3 +2258,61 @@ def q_html_extract(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow"
     )
+
+
+def q_pdf_layout(sf_dir: str):
+    """PDF layout parsing (north-star headline component): synthesize a
+    genuine PDF 1.4 file per document (Courier Tj/TJ text lines inside
+    Flate-compressed content streams — 6-token lines, 12-line pages — plus
+    a grayscale image XObject at the bottom of page one for even doc_ids),
+    decode it with the pure-stdlib ``sources/pdf.py: PdfDecoder``, and emit
+    reading-ordered layout blocks. The line/page derivation and Courier
+    fixed-advance geometry are SQL-expressible, so the DuckDB oracle states
+    every block (kind, text, 1dp bbox) exactly."""
+    from ..functions.num import round_away
+    from ..sources.pdf import PdfLayoutStage, synth_pdf
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "bytes": pa.array(
+                    [
+                        synth_pdf(i, t)
+                        for i, t in zip(ids, batch["text"].to_pylist())
+                    ],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        bbox = np.asarray(
+            batch["bbox"].to_pylist(), dtype=np.float64
+        ).reshape(-1, 4)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "page": pc.cast(batch["page"], pa.int64()),
+                "block_order": pc.cast(batch["order"], pa.int64()),
+                "kind": batch["kind"],
+                "text": batch["text"],
+                "x0": pa.array(round_away(bbox[:, 0], 1), pa.float64()),
+                "y0": pa.array(round_away(bbox[:, 1], 1), pa.float64()),
+                "x1": pa.array(round_away(bbox[:, 2], 1), pa.float64()),
+                "y1": pa.array(round_away(bbox[:, 3], 1), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(
+            PdfLayoutStage,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=128,
+        )
+        .map_batches(widen, batch_format="pyarrow")
+    )
