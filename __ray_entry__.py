@@ -203,15 +203,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": Q.q_epoch_shuffle,
         "seq_pack": Q.q_seq_pack,
         "hash_split": Q.q_hash_split,
-        "token_budget": Q.q_token_budget,
         "mix_strata": Q.q_mix_strata,
         "weighted_sample": Q.q_weighted_sample,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "html_extract": Q.q_html_extract,
         "pdf_layout": Q.q_pdf_layout,
+        "audio_features": Q.q_audio_features,  # rows-only: no SQL WAV parser
         # --- past the driver's 50-entry window (same families) ---
         "winnow_pairs": Q.q_winnow_pairs,
         "drop_dup_passages": Q.q_drop_dup_passages,
+        "token_budget": Q.q_token_budget,
+        "video_frames": Q.q_video_frames,  # rows-only: no SQL PNG parser
         "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin

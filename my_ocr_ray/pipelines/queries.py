@@ -2316,3 +2316,70 @@ def q_pdf_layout(sf_dir: str):
         )
         .map_batches(widen, batch_format="pyarrow")
     )
+
+
+def q_audio_features(sf_dir: str):
+    """Audio features over a REAL codec (rows-only: no SQL WAV parser;
+    exact values pinned in tests): synthesize a deterministic mono 16-bit
+    PCM WAV clip per document (stdlib ``wave`` writer, length scaled by
+    n_chars) and run the actor-pool feature stage with the stdlib
+    RIFF/WAVE decoder (``sources/av.py: WavPcmDecoder``)."""
+    from ..sources.av import AudioFeatureStage, WavPcmDecoder, synth_wav
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        chars = batch["n_chars"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "clip_id": pa.array([str(i) for i in ids], pa.string()),
+                "bytes": pa.array(
+                    [synth_wav(i, c) for i, c in zip(ids, chars)],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"decoder": WavPcmDecoder()},
+            concurrency=(1, 4),
+            batch_size=128,
+        )
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Frame sampling over a REAL frame codec (rows-only: no SQL PNG
+    parser; geometry and luma pinned in tests): synthesize a deterministic
+    PNG-sequence clip per document (1 + doc_id % 4 frames via the repo's
+    pure-numpy PNG encoder) and stride-sample frames in the actor-pool
+    stage (``sources/av.py: PngSequenceDecoder``)."""
+    from ..sources.av import PngSequenceDecoder, VideoFrameSampleStage, synth_video
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "clip_id": pa.array([str(i) for i in ids], pa.string()),
+                "bytes": pa.array(
+                    [synth_video(i, 1 + int(i) % 4) for i in ids],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampleStage,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"decoder": PngSequenceDecoder(), "stride": 2},
+            concurrency=(1, 4),
+            batch_size=128,
+        )
+    )

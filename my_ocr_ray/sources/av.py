@@ -1,13 +1,23 @@
-"""Audio/video multimodal stages — real Ray plumbing, stubbed codecs.
+"""Audio/video multimodal stages — real Ray plumbing with REAL codecs for
+the formats this container can honestly parse, and ``NotImplementedError``
+seams for the rest.
 
 The engine treats audio/video like images: opaque ``large_binary`` columns
-with typed metadata, processed by actor-pool ``map_batches`` stages. No
-audio/video libraries exist in this container, so the codec seams are
-STUBBED (``NotImplementedError``) with deterministic fakes driving the
-tests — schema, batch shapes, actor signatures and output layout are real
-(same pattern as ``sources/pdf.py``).
+with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Fake formats (for tests):
+Real codecs (pure stdlib / repo-owned):
+- audio: RIFF/WAVE PCM via the stdlib ``wave`` module
+  (:class:`WavPcmDecoder`) — mono 8/16/32-bit integer PCM;
+- video: concatenated 8-bit grayscale PNG frames decoded with the repo's
+  own pure-numpy PNG codec (:class:`PngSequenceDecoder`).
+
+Compressed audio (mp3/flac/...) and real video containers (mp4/mkv) have no
+codec in this environment; the base :class:`AudioDecoder` /
+:class:`VideoDecoder` seams raise ``NotImplementedError`` where
+ffmpeg/soundfile/pyav would plug in — same pattern as ``sources/pdf.py``'s
+out-of-profile seam.
+
+Fake formats (kept for plumbing tests):
 - audio: float32 PCM little-endian raw bytes, 16 kHz mono
 - video: concatenated grayscale frames, header ``width,height,n|`` then raw
   uint8 frames
@@ -52,6 +62,64 @@ class FakePcmDecoder(AudioDecoder):
         return np.frombuffer(data, dtype=np.float32), 16000
 
 
+class WavPcmDecoder(AudioDecoder):
+    """REAL RIFF/WAVE PCM decoder (stdlib ``wave``): mono integer PCM ->
+    (float32 samples in [-1, 1), sample_rate). Multi-channel or compressed
+    WAV raises — the honest seam for an ffmpeg/soundfile plug-in."""
+
+    _DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+    def decode(self, data: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(data), "rb") as w:
+                if w.getcomptype() != "NONE":
+                    raise NotImplementedError(
+                        f"compressed WAV ({w.getcomptype()}) unsupported"
+                    )
+                if w.getnchannels() != 1:
+                    raise NotImplementedError("only mono WAV supported")
+                width = w.getsampwidth()
+                if width not in self._DTYPES:
+                    raise NotImplementedError(f"{width*8}-bit PCM unsupported")
+                raw = w.readframes(w.getnframes())
+                rate = w.getframerate()
+        except wave.Error as e:
+            raise NotImplementedError(f"not a PCM RIFF/WAVE file: {e}") from e
+        arr = np.frombuffer(raw, dtype=self._DTYPES[width])
+        if width == 1:  # 8-bit WAV is unsigned, offset binary
+            samples = (arr.astype(np.float32) - 128.0) / 128.0
+        else:
+            samples = arr.astype(np.float32) / float(2 ** (8 * width - 1))
+        return samples, rate
+
+
+def synth_wav(clip_id: int, n_chars: int, rate: int = 16000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV clip: a pure function of
+    (clip_id, n_chars). Length scales with the document (50 samples per
+    char + 800 base); the signal is a clip-keyed sine plus seeded noise so
+    rms / zero-crossing features vary per clip."""
+    import io
+    import wave
+
+    n = 800 + 50 * int(n_chars)
+    rng = np.random.default_rng((int(clip_id) * 2_654_435_761) & 0x7FFFFFFF)
+    t = np.arange(n, dtype=np.float64)
+    freq = 110.0 * (1 + int(clip_id) % 8)
+    sig = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+    sig += 0.05 * rng.standard_normal(n)
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 class AudioFeatureStage:
     """Actor-pool stage: (clip_id, bytes) -> per-clip audio features.
 
@@ -86,6 +154,53 @@ class VideoDecoder:
         raise NotImplementedError(
             "no video codec in this environment; plug pyav/ffmpeg here"
         )
+
+
+class PngSequenceDecoder(VideoDecoder):
+    """REAL frame decoder: bytes = concatenated 8-bit grayscale PNGs,
+    parsed with the repo's pure-numpy PNG codec (``functions/imaging.py``).
+    Each PNG is length-delimited by its own chunk structure, so no container
+    header is needed."""
+
+    def frames(self, data: bytes):
+        from ..functions.imaging import png_decode
+
+        import struct
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        pos = 0
+        while pos < len(data):
+            if data[pos : pos + 8] != sig:
+                raise NotImplementedError(
+                    "not a PNG frame sequence; plug pyav/ffmpeg here for "
+                    "real video containers"
+                )
+            # walk the chunk structure (IDAT may contain arbitrary bytes,
+            # so scanning for IEND textually would be wrong)
+            end = pos + 8
+            while True:
+                (length,) = struct.unpack(">I", data[end : end + 4])
+                tag = data[end + 4 : end + 8]
+                end += 12 + length
+                if tag == b"IEND":
+                    break
+            yield png_decode(data[pos:end])
+            pos = end
+
+
+def synth_video(clip_id: int, n_frames: int, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic PNG-sequence clip: per-frame gradient keyed by
+    (clip_id, frame index). Pure function; real PNG bytes."""
+    from ..functions.imaging import png_encode
+
+    parts = []
+    for f in range(n_frames):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((xx * 7 + yy * 13 + int(clip_id) * 31 + f * 17) % 256).astype(
+            np.uint8
+        )
+        parts.append(png_encode(img))
+    return b"".join(parts)
 
 
 class FakeRawVideoDecoder(VideoDecoder):
