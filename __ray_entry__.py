@@ -203,13 +203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": Q.q_epoch_shuffle,
         "seq_pack": Q.q_seq_pack,
         "hash_split": Q.q_hash_split,
-        "mix_strata": Q.q_mix_strata,
         "weighted_sample": Q.q_weighted_sample,
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "html_extract": Q.q_html_extract,
         "pdf_layout": Q.q_pdf_layout,
         "audio_features": Q.q_audio_features,  # rows-only: no SQL WAV parser
+        "decode_variants": Q.q_decode_variants,  # rows-only: OCR decode paths, golden-pinned
         # --- past the driver's 50-entry window (same families) ---
+        "mix_strata": Q.q_mix_strata,
         "winnow_pairs": Q.q_winnow_pairs,
         "drop_dup_passages": Q.q_drop_dup_passages,
         "token_budget": Q.q_token_budget,

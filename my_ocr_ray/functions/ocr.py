@@ -138,6 +138,32 @@ def _downsample_block(bitmap: np.ndarray, scale: int) -> np.ndarray:
     return blocks > 0.5
 
 
+def word_glyph_classes(
+    word_ink: np.ndarray, scale: int = 2
+) -> tuple[np.ndarray, list[tuple[int, int, int, float]]]:
+    """Segment a word crop into glyph column-runs and template-match each:
+    -> (row-trimmed ink, [(x0, x1, class, confidence), ...] in x order).
+
+    Glyph ink columns are contiguous (asserted in tests), and the minimum
+    inter-glyph gap is one spacing column (= scale), so raw column runs ARE
+    the glyph segments — no merge. Shared by :func:`word_frame_logits` (CTC
+    frames) and the seg/attention decode variants (pipelines/queries.py
+    q_decode_variants), which re-express the same matches as a class map /
+    per-step logits."""
+    rows = np.flatnonzero(word_ink.any(axis=1))
+    if rows.size == 0:
+        return word_ink[:0], []
+    ink = word_ink[rows[0] : rows[-1] + 1]
+    out: list[tuple[int, int, int, float]] = []
+    for x0, x1 in _runs(ink.any(axis=0)):
+        g = ink[:, x0:x1]
+        gr = np.flatnonzero(g.any(axis=1))
+        g = g[gr[0] : gr[-1] + 1]
+        cls, conf = _match_glyph(_downsample_block(g, scale))
+        out.append((x0, x1, cls, conf))
+    return ink, out
+
+
 def word_frame_logits(word_ink: np.ndarray, scale: int = 2) -> np.ndarray:
     """Emit a (T, C+1) frame-logit matrix for one word crop.
 
@@ -146,22 +172,10 @@ def word_frame_logits(word_ink: np.ndarray, scale: int = 2) -> np.ndarray:
     blanks) genuinely exercises double letters and blank handling.
     """
     n_classes = len(DICT36) + 1
-    rows = np.flatnonzero(word_ink.any(axis=1))
-    if rows.size == 0:
+    _, glyphs = word_glyph_classes(word_ink, scale)
+    if not glyphs:
         return np.zeros((1, n_classes), dtype=np.float32)
-    word_ink = word_ink[rows[0] : rows[-1] + 1]
-    # Glyph ink columns are contiguous (asserted in tests), and the minimum
-    # inter-glyph gap is one spacing column (= scale), so raw column runs ARE
-    # the glyph segments — no merge.
-    glyph_runs = _runs(word_ink.any(axis=0))
-    if not glyph_runs:
-        return np.zeros((1, n_classes), dtype=np.float32)
-    classes: list[tuple[int, float]] = []
-    for x0, x1 in glyph_runs:
-        g = word_ink[:, x0:x1]
-        gr = np.flatnonzero(g.any(axis=1))
-        g = g[gr[0] : gr[-1] + 1]
-        classes.append(_match_glyph(_downsample_block(g, scale)))
+    classes: list[tuple[int, float]] = [(cls, conf) for _, _, cls, conf in glyphs]
     # one allocation: [cls cls blank cls cls blank ... cls cls]
     n = len(classes)
     t_total = n * FRAMES_PER_GLYPH + (n - 1)

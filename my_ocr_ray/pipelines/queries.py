@@ -2383,3 +2383,139 @@ def q_video_frames(sf_dir: str):
             batch_size=128,
         )
     )
+
+
+class DecodeVariantsStage:
+    """Actor-pool stage driving every recognizer decode kernel over rendered
+    media pixels: per detected word crop, the SAME glyph template matches
+    (``functions/ocr.py: word_glyph_classes``) feed four decoders —
+
+    - CTC greedy over frame logits (``ctc.py: ctc_greedy_decode``),
+    - CTC prefix beam search, width 5 (``ctc.py: ctc_beam_search``,
+      reference ``sar_decoder_with_bs.py:34-148``),
+    - attention-style per-step argmax-until-EOS over per-glyph step logits
+      (``ctc.py: attention_greedy_decode``, reference ``attn.py:110-140``),
+    - seg decode over a per-glyph class map ordered by x-centroid
+      (``pixels.py: seg_decode``, reference ``seg_recognizer.py:104-154``).
+
+    Words re-join in reading order via ``stitch_boxes_into_lines``; the
+    golden corpus makes every variant's text comparable to ``gt_text``.
+    """
+
+    def __init__(self, beam_width: int = 5):
+        self.beam_width = beam_width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.ctc import (
+            attention_greedy_decode,
+            ctc_beam_search,
+            ctc_greedy_decode,
+            indices_to_text,
+        )
+        from ..functions.geometry import stitch_boxes_into_lines
+        from ..functions.imaging import DICT36, png_decode
+        from ..functions.ocr import (
+            BLANK_IDX,
+            binarize,
+            detect_word_boxes,
+            word_frame_logits,
+            word_glyph_classes,
+        )
+        from ..functions.pixels import seg_decode
+
+        n_cls = len(DICT36) + 1
+        eos = background = len(DICT36)
+        cols = {
+            "media_ref": [], "gt_text": [], "text_greedy": [],
+            "text_beam": [], "text_attn": [], "text_seg": [],
+        }
+        for ref, data, gt in zip(
+            batch["media_ref"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["gt_text"].to_pylist(),
+        ):
+            img = png_decode(data)
+            ink = binarize(img)
+            words: dict[str, list[dict]] = {k: [] for k in
+                                            ("greedy", "beam", "attn", "seg")}
+            for b in detect_word_boxes(img, scale=2):
+                x0, y0, x1, y1 = int(b[0]), int(b[1]), int(b[4]), int(b[5])
+                crop = ink[y0:y1, x0:x1]
+                trimmed, glyphs = word_glyph_classes(crop, scale=2)
+                frames = word_frame_logits(crop, scale=2)
+
+                gi, _ = ctc_greedy_decode(frames, blank=BLANK_IDX)
+                prefix = ctc_beam_search(
+                    frames, blank=BLANK_IDX, beam_width=self.beam_width
+                )[0][0] if frames.size else []
+                # attention steps: one row per glyph peaked at its class,
+                # then an EOS row (the attention convertor's alphabet re-uses
+                # the trailing slot as EOS instead of CTC blank)
+                steps = np.full((len(glyphs) + 1, n_cls), 0.05 / n_cls,
+                                dtype=np.float32)
+                for s, (_, _, cls, conf) in enumerate(glyphs):
+                    steps[s, cls] = 0.5 + 0.5 * conf
+                steps[len(glyphs), eos] = 0.95
+                ai, _ = attention_greedy_decode(steps, eos=eos)
+                # seg class map: each glyph's ink bounding rect filled with
+                # its class id (runs are >=1 column apart -> one component
+                # per glyph)
+                cmap = np.full(trimmed.shape, background, dtype=np.int32)
+                for gx0, gx1, cls, _ in glyphs:
+                    cmap[:, gx0:gx1][trimmed[:, gx0:gx1]] = cls
+                    # fill the rect so a visually-disconnected glyph stays
+                    # one component
+                    rr = np.flatnonzero(trimmed[:, gx0:gx1].any(axis=1))
+                    if rr.size:
+                        cmap[rr[0] : rr[-1] + 1, gx0:gx1] = cls
+
+                quad = b[:8]
+                words["greedy"].append(
+                    {"box": quad, "text": indices_to_text(gi, DICT36)})
+                words["beam"].append(
+                    {"box": quad, "text": indices_to_text(list(prefix), DICT36)})
+                words["attn"].append(
+                    {"box": quad, "text": indices_to_text(ai, DICT36)})
+                words["seg"].append(
+                    {"box": quad, "text": seg_decode(cmap, background, DICT36)})
+
+            cols["media_ref"].append(ref)
+            cols["gt_text"].append(gt)
+            for k in ("greedy", "beam", "attn", "seg"):
+                lines = stitch_boxes_into_lines(
+                    words[k], max_x_dist=20, min_y_overlap_ratio=0.5
+                )
+                cols[f"text_{k}"].append("\n".join(ln["text"] for ln in lines))
+        out = pa.Table.from_pydict(
+            {k: pa.array(v, pa.string()) for k, v in cols.items()}
+        )
+        return out
+
+
+def q_decode_variants(sf_dir: str, n_docs: int | None = None):
+    """All four recognizer decode paths over the golden corpus media
+    (rows-only: OCR semantics have no SQL twin; the golden unit test pins
+    every variant's text equal to gt_text)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..synth import ensure_corpus
+
+    if n_docs is None:
+        n_docs = min(
+            500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        )
+    corpus = ensure_corpus(n_docs, seed=13)
+    media = ray.data.read_parquet(
+        sorted(glob.glob(f"{corpus}/media/*.parquet")),
+        columns=["media_ref", "bytes", "gt_text"],
+    )
+    return media.map_batches(
+        DecodeVariantsStage,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=64,
+    )

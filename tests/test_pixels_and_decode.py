@@ -111,3 +111,18 @@ def test_attention_greedy_decode():
     idx, scores = attention_greedy_decode(logits, eos=EOS, pad=PAD)
     assert idx == [5, 7]
     assert len(scores) == 2 and all(abs(s - 0.9) < 1e-6 for s in scores)
+
+
+def test_decode_variants_golden_equality(ray_session):
+    """Pipeline-level golden: CTC greedy, width-5 beam, attention and seg
+    decodes all recover the exact rendered ground truth (flips the three
+    kernel-only decoder rows to pipeline-covered)."""
+    from my_ocr_ray.pipelines.queries import q_decode_variants
+
+    rows = q_decode_variants("/root/testdata/sf0.001", n_docs=60).take_all()
+    assert rows, "no media rows"
+    for r in rows:
+        assert (
+            r["gt_text"] == r["text_greedy"] == r["text_beam"]
+            == r["text_attn"] == r["text_seg"]
+        ), r
