@@ -1278,18 +1278,28 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
     cluster size / partition layout — the resumable alternative to
     ``random_shuffle`` for epoch ordering at 100 TB.
 
-    No global sort: the key's first TWO bytes are its range bucket (md5
-    output is uniform, so 65,536 near-equal ranges — wide enough that
-    exchange parallelism isn't bucket-capped until ~100M partitions-worth
-    of data). A skinny (bucket, count) pass prefix-sums into a 65,536-entry
-    offset table carried in the task closure (512 KB), then ONE bucket-keyed
-    hash exchange (partition count data-scaled by ``_hash_parts``) ranks
-    each bucket locally — ascending key order within a block is already
-    bucket-grouped because the bucket is a prefix of the key. Only
-    (doc_id, key) rows move."""
+    No global sort: the key's first ``p`` hex digits are its range bucket
+    (md5 output is uniform, so near-equal ranges). The bucket WIDTH is
+    DATA-SCALED like ``_hash_parts`` partition counts: 256 buckets under
+    1M estimated rows, 4,096 under 100M, 65,536 above — the output is
+    width-invariant (the bucket is a key prefix, so offsets + within-bucket
+    rank reproduce the same global rank at any width), but the skinny
+    (bucket, count) exchange stays proportional to data volume instead of
+    paying the 65,536-entry cost at bench scale (the r3 +56% regression).
+    A skinny (bucket, count) pass prefix-sums into an offset table carried
+    in the task closure (<=512 KB), then ONE bucket-keyed hash exchange
+    (partition count data-scaled by ``_hash_parts``) ranks each bucket
+    locally — ascending key order within a block is already bucket-grouped
+    because the bucket is a prefix of the key. Only (doc_id, key) rows
+    move."""
     from ray.data.aggregate import Sum
 
-    from .windows import _hash_parts
+    from .windows import _approx_source_rows, _hash_parts
+
+    ids_only = docs_ds.select_columns(["doc_id"])
+    est = _approx_source_rows(ids_only) or 1_000_000
+    hex_digits = 2 if est < 1_000_000 else (3 if est < 100_000_000 else 4)
+    n_buckets = 16 ** hex_digits
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1301,13 +1311,13 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
                 "doc_id": batch["doc_id"],
                 "key": pa.array(keys, pa.string()),
                 "bucket": pa.array(
-                    np.array([int(k[:4], 16) for k in keys], dtype=np.int64),
+                    np.array(
+                        [int(k[:hex_digits], 16) for k in keys], dtype=np.int64
+                    ),
                     pa.int64(),
                 ),
             }
         )
-
-    ids_only = docs_ds.select_columns(["doc_id"])
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         g = keyed(batch).group_by("bucket").aggregate([([], "count_all")])
@@ -1320,8 +1330,8 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
         .groupby("bucket")
         .aggregate(Sum("cnt"))
         .take_all()
-    )  # <= 65,536 skinny rows on the driver, by construction
-    per_bucket = np.zeros(65_536, dtype=np.int64)
+    )  # <= n_buckets skinny rows on the driver, by construction
+    per_bucket = np.zeros(n_buckets, dtype=np.int64)
     for row in counts:
         per_bucket[row["bucket"]] = row["sum(cnt)"]
     offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
