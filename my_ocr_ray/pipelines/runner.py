@@ -106,7 +106,9 @@ def run_extract_partitioned(
     *,
     num_partitions: int = 16,
     scale: int = 2,
-    ocr_concurrency=4,
+    ocr_concurrency=None,  # None = extract() auto-sizes to the session
+                           # (the resource-fit invariant: a fixed pool can
+                           # starve the shuffle aggregators on small hosts)
     ocr_batch_size: int = 256,
     two_phase_salt: int | None = None,
     max_partitions: int | None = None,

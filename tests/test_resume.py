@@ -127,3 +127,74 @@ def test_resume_with_different_partition_count_rejected(
         run_extract_partitioned(
             docs_dir, media_path, out_dir, num_partitions=2, ocr_concurrency=2
         )
+
+
+def test_sigkill_resume_flagship_bench_scale(ray_session, tmp_path):
+    """Bench-scale kill-and-resume (round-4 ask): a real SIGKILL mid-run on
+    the sf0.01-sized flagship corpus, resumed via the partition manifests —
+    no duplicated or missing partitions, span-equality 1.0 after resume."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import os
+
+    import pyarrow.dataset as pads
+
+    from my_ocr_ray.pipelines.evaluate import extraction_accuracy
+    from my_ocr_ray.synth import write_corpus
+
+    n_parts = 8
+    # sf0.01-sized corpus split into 8 input files so the partitioned
+    # runner has real partitions to resume across (ensure_corpus writes a
+    # single file at this size); cached like ensure_corpus
+    corpus = "/tmp/myocr_bench/corpus_2000_13_f8"
+    if not os.path.exists(f"{corpus}/DONE"):
+        write_corpus(corpus, 2000, seed=13, docs_per_block=250)
+        with open(f"{corpus}/DONE", "w") as f:
+            f.write("ok")
+    out_dir = str(tmp_path / "out_kill")
+
+    # the child owns its own fresh Ray session (RAY_ADDRESS=local starts a
+    # private instance); capped CPUs keep it light next to the test session
+    child = subprocess.Popen(
+        [
+            sys.executable, "-m", "my_ocr_ray", "--num-cpus", "4", "run",
+            "--docs", f"{corpus}/documents", "--media", f"{corpus}/media",
+            "--out", out_dir, "--partitions", str(n_parts),
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if completed_partitions(out_dir):
+                break
+            if child.poll() is not None:
+                raise AssertionError("child finished before the kill")
+            time.sleep(0.02)
+        child.send_signal(signal.SIGKILL)
+    finally:
+        child.wait()
+    done_at_kill = completed_partitions(out_dir)
+    assert 0 < len(done_at_kill) < n_parts, done_at_kill
+
+    # resume in the test session: only the incomplete partitions run
+    s = run_extract_partitioned(
+        f"{corpus}/documents", f"{corpus}/media", out_dir,
+        num_partitions=n_parts,  # ocr_concurrency auto-sizes to the session
+    )
+    assert s["completed"] == n_parts
+    assert s["processed_now"] == n_parts - len(done_at_kill)
+    assert completed_partitions(out_dir) == list(range(n_parts))  # no dup/missing
+
+    expected = pads.dataset(
+        sorted(glob.glob(f"{corpus}/expected/*.parquet")), format="parquet"
+    ).to_table()
+    acc = extraction_accuracy(read_output(out_dir), expected)
+    assert acc["docs"] == 2000
+    assert acc["span_equality_rate"] == 1.0
+    assert acc["media_text_acc"] == 1.0
