@@ -31,8 +31,25 @@ def boilerplate_mask(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 
 
 def strip_boilerplate(batch: pa.Table) -> pa.Table:
-    """Drop boilerplate text spans; media spans pass through untouched."""
+    """Drop boilerplate text spans; raw-HTML spans are reduced to their
+    main content (CETD text/link-density extractor, ``functions/html.py``)
+    in place; media spans pass through untouched.
+
+    HTML parsing is inherently per-document (stdlib ``HTMLParser``), so only
+    the ``kind == "html"`` rows leave the vectorized path."""
     is_text = pc.equal(batch["kind"], "text")
     boiler = boilerplate_mask(batch["text"])
     drop = pc.and_(is_text, boiler)
-    return batch.filter(pc.invert(drop))
+    out = batch.filter(pc.invert(drop))
+    html_mask = pc.equal(out["kind"], "html")
+    if pc.any(html_mask).as_py():
+        from ..functions.html import extract_main_html
+
+        mask = html_mask.combine_chunks().to_numpy(zero_copy_only=False)
+        texts = out["text"].to_pylist()
+        for i in mask.nonzero()[0]:
+            texts[i] = extract_main_html(texts[i])
+        out = out.set_column(
+            out.column_names.index("text"), "text", pa.array(texts, pa.string())
+        )
+    return out

@@ -10,10 +10,12 @@ coordination) and the golden expected output computable without running the
 engine.
 
 Span mix per doc: content text spans, boilerplate text spans (link-dense or
-nav-short — designed to robustly trigger ``is_boilerplate_span``), and media
-spans whose referenced image renders DICT36 text with exactly known ground
-truth. Span counts are skew-distributed (median ~5, heavy tail) to exercise
-the salted reassembly shuffle.
+nav-short — designed to robustly trigger ``is_boilerplate_span``), raw-HTML
+spans (a full boilerplate-wrapped page via :func:`wrap_html_doc` whose main
+content the flagship must recover with the CETD extractor), and media spans
+whose referenced image renders DICT36 text with exactly known ground truth.
+Span counts are skew-distributed (median ~5, heavy tail) to exercise the
+salted reassembly shuffle.
 """
 from __future__ import annotations
 
@@ -107,6 +109,9 @@ def _boiler_text(rng: np.random.Generator) -> str:
     return " ".join(_NAV_WORDS[int(k)] for k in rng.integers(0, len(_NAV_WORDS), n))
 
 
+HTML_PROB = 0.15  # raw-HTML span share (drawn after media_prob)
+
+
 def make_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -> dict:
     """One interleaved document row (pure function of seed + index)."""
     rng = _doc_rng(seed, i)
@@ -119,7 +124,13 @@ def make_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -
             spans.append(
                 {"kind": "media", "text": "", "media_ref": ref, "offset": j}
             )
-        elif r < media_prob + 0.25:
+        elif r < media_prob + HTML_PROB:
+            main = _content_text(rng)
+            page = wrap_html_doc(int(rng.integers(0, 1_000_000)), main)
+            spans.append(
+                {"kind": "html", "text": page, "media_ref": "", "offset": j}
+            )
+        elif r < media_prob + HTML_PROB + 0.25:
             txt = _boiler_text(rng)
             assert is_boilerplate_span(txt), txt
             spans.append(
@@ -137,6 +148,8 @@ def make_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -
 def expected_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -> dict:
     """Golden extracted row: boilerplate spans dropped, media text filled with
     the exact rendered ground truth, order preserved by offset."""
+    import html as _html
+
     doc = make_doc(seed, i, max_spans, media_prob)
     out = []
     for s in doc["spans"]:
@@ -148,6 +161,16 @@ def expected_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.
                     "media_ref": s["media_ref"],
                     "offset": s["offset"],
                 }
+            )
+        elif s["kind"] == "html":
+            # golden main text recovered by inverting the generator's own
+            # template (string slicing + unescape — independent of the
+            # extractor under test)
+            main = _html.unescape(
+                s["text"].split("<article><p>", 1)[1].split("</p></article>", 1)[0]
+            )
+            out.append(
+                {"kind": "html", "text": main, "media_ref": "", "offset": s["offset"]}
             )
         elif not is_boilerplate_span(s["text"]):
             out.append(dict(s))
