@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .functions.num import round_away
+from .functions.tables import agg_named
 from .functions.textproc import LANG_ORDER, STOPWORDS
 
 
@@ -578,7 +579,7 @@ def source_divergence(docs_ds):
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by("key").aggregate([("c", "sum")])
-        return g.rename_columns(["key", "c"])
+        return agg_named(g, {"key": "key", "c_sum": "c"})
 
     empty = pa.Table.from_pydict(
         {

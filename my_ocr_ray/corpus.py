@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .functions.tables import agg_named
+
 
 # ---------------------------------------------------------------------------
 # vectorized n-gram machinery
@@ -945,7 +947,7 @@ def bigram_counts(docs_ds):
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by("pair").aggregate([("c", "sum")])
-        return g.rename_columns(["pair", "c"])
+        return agg_named(g, {"pair": "pair", "c_sum": "c"})
 
     return (
         docs_ds.map_batches(partial, batch_format="pyarrow")
@@ -1070,11 +1072,9 @@ def bigram_lm_scores(docs_ds, k: float = 0.5, vocab_cap: int | None = None):
     rights = pc.list_element(
         pc.split_pattern(pair_col, "\x00", max_splits=1), 1
     )
-    cu_tbl = (
-        pa.table({"w1": lefts, "c": c_col})
-        .group_by("w1")
-        .aggregate([("c", "sum")])
-        .rename_columns(["w1", "cu"])
+    cu_tbl = agg_named(
+        pa.table({"w1": lefts, "c": c_col}).group_by("w1").aggregate([("c", "sum")]),
+        {"w1": "w1", "c_sum": "cu"},
     )
     v = len(pc.unique(pa.chunked_array([lefts, rights])))
     model_ref = ray.put(
@@ -1320,10 +1320,11 @@ def epoch_shuffle(docs_ds, seed: int = 13, num_partitions: int | None = None):
         )
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
-        g = keyed(batch).group_by("bucket").aggregate([([], "count_all")])
-        return g.rename_columns(["bucket", "cnt"]).set_column(
-            1, "cnt", pc.cast(g.column(1), pa.int64())
+        g = agg_named(
+            keyed(batch).group_by("bucket").aggregate([([], "count_all")]),
+            {"bucket": "bucket", "count_all": "cnt"},
         )
+        return g.set_column(1, "cnt", pc.cast(g.column(1), pa.int64()))
 
     counts = (
         ids_only.map_batches(bucket_partial, batch_format="pyarrow")
@@ -1463,8 +1464,15 @@ def filter_funnel(docs_ds, lang: str = "en", min_tokens: int = 30):
             [("one", "sum"), ("lang_ok", "sum"), ("len_ok", "sum"),
              ("both_ok", "sum")]
         )
-        return g.rename_columns(
-            ["source", "n_docs", "n_lang", "n_len", "n_both"]
+        return agg_named(
+            g,
+            {
+                "source": "source",
+                "one_sum": "n_docs",
+                "lang_ok_sum": "n_lang",
+                "len_ok_sum": "n_len",
+                "both_ok_sum": "n_both",
+            },
         )
 
     agg = (

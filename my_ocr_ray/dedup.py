@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from .analysis import fingerprint_batch
 from .functions.num import round_away
+from .functions.tables import agg_named
 from .functions.textproc import (
     lsh_band_matrix,
     minhash_sigs_matrix,
@@ -585,7 +586,9 @@ def embedding_dup_pairs(
     def distinct(batch: pa.Table) -> pa.Table:
         # a pair can collide in several bands (cosine identical): keep one
         g = batch.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "min")])
-        return g.rename_columns(["vec_a", "vec_b", "cosine"])
+        return agg_named(
+            g, {"vec_a": "vec_a", "vec_b": "vec_b", "cosine_min": "cosine"}
+        )
 
     cand = _hash_parts(
         emb_ds.map_batches(bucket, batch_format="pyarrow"),
@@ -713,7 +716,7 @@ def hamming_lsh_pairs(hashed_ds, id_col: str, hash_col: str,
 
     def distinct(batch: pa.Table) -> pa.Table:
         g = batch.group_by([out_a, out_b]).aggregate([("hamming", "min")])
-        g = g.rename_columns([out_a, out_b, "hamming"])
+        g = agg_named(g, {out_a: out_a, out_b: out_b, "hamming_min": "hamming"})
         return g if include_hamming else g.select([out_a, out_b])
 
     pairs = _hash_parts(
@@ -1185,10 +1188,11 @@ def source_overlap(docs_ds, prefix_tokens: int = 5,
                 "src_b": pa.array(hi.tolist(), pa.string()),
             }
         )
-        g = t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
-        return g.rename_columns(["src_a", "src_b", "n_pairs"]).set_column(
-            2, "n_pairs", pc.cast(g.column(2), pa.int64())
+        g = agg_named(
+            t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")]),
+            {"src_a": "src_a", "src_b": "src_b", "count_all": "n_pairs"},
         )
+        return g.set_column(2, "n_pairs", pc.cast(g.column(2), pa.int64()))
 
     parts = _hash_parts(
         docs_ds.map_batches(fp_batch, batch_format="pyarrow"),
@@ -1324,7 +1328,10 @@ def dedup_rate_by_source(docs_ds):
         g = batch.group_by("source").aggregate(
             [("count()", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["source", "n_docs", "n_unique"])
+        return agg_named(
+            g,
+            {"source": "source", "count()_sum": "n_docs", "count_all": "n_unique"},
+        )
 
     agg = (
         per_fp.map_batches(partial, batch_format="pyarrow")

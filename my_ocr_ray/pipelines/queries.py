@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.num import round_away_scalar
+from ..functions.tables import agg_named
 
 SPAN_TOKENS = 8
 
@@ -235,15 +236,16 @@ def q_lineitem_agg(sf_dir: str):
                 ("l_discount", "count"),
             ]
         )
-        return g.rename_columns(
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "qty_s",
-                "price_s",
-                "disc_s",
-                "cnt",
-            ]
+        return agg_named(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "l_linestatus": "l_linestatus",
+                "l_quantity_sum": "qty_s",
+                "l_extendedprice_sum": "price_s",
+                "l_discount_sum": "disc_s",
+                "l_discount_count": "cnt",
+            },
         )
 
     agg = (
@@ -1255,7 +1257,11 @@ def q_distinct_users(sf_dir: str):
         g = batch.group_by(["event_type", "user_id"]).aggregate(
             [("user_id", "count")]
         )
-        return g.rename_columns(["event_type", "user_id", "cnt"])
+        return agg_named(
+            g,
+            {"event_type": "event_type", "user_id": "user_id",
+             "user_id_count": "cnt"},
+        )
 
     from ..windows import _hash_parts
 
@@ -1275,7 +1281,11 @@ def q_distinct_users(sf_dir: str):
         g = pair.group_by(["event_type"]).aggregate(
             [("user_id", "count"), ("cnt_sum", "sum")]
         )
-        return g.rename_columns(["event_type", "u_part", "e_part"])
+        return agg_named(
+            g,
+            {"event_type": "event_type", "user_id_count": "u_part",
+             "cnt_sum_sum": "e_part"},
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["event_type"]).aggregate(
@@ -1319,7 +1329,11 @@ def q_funnel(sf_dir: str):
             }
         )
         g = t.group_by(["user_id", "event_type"]).aggregate([("ts_us", "min")])
-        return g.rename_columns(["user_id", "event_type", "ts_min"])
+        return agg_named(
+            g,
+            {"user_id": "user_id", "event_type": "event_type",
+             "ts_us_min": "ts_min"},
+        )
 
     # NO (user, type) groupby round: the per-user hash partition co-locates
     # every partial, so the block kernel min-merges duplicates itself

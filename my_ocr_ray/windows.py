@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .functions.tables import agg_named
+
 
 def _epoch_seconds(ts: pa.ChunkedArray) -> np.ndarray:
     arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
@@ -39,7 +41,9 @@ def _grouped_value_agg(keyed_ds, key_cols):
         g = batch.group_by(key_cols).aggregate(
             [("value", "sum"), ("value", "count")]
         )
-        return g.rename_columns(list(key_cols) + ["v_sum", "v_cnt"])
+        mapping = {k: k for k in key_cols}
+        mapping.update({"value_sum": "v_sum", "value_count": "v_cnt"})
+        return agg_named(g, mapping)
 
     agg = (
         keyed_ds.map_batches(partial, batch_format="pyarrow")
