@@ -103,3 +103,21 @@ def test_boundary_sink_rows():
     out = boundaries_to_text_rows(batch, min_score=0.5).to_pylist()
     assert len(out) == 1
     assert out[0]["line"] == "0,1,10,1,10,5,0,5"
+
+
+def test_agg_named_order_proof():
+    """agg_named must label aggregate outputs by NAME and emit columns in
+    mapping order, regardless of where pyarrow puts the key columns."""
+    from my_ocr_ray.functions.tables import agg_named
+
+    t = pa.table({"k": ["a", "a", "b"], "c": [1, 2, 4]})
+    g = t.group_by("k").aggregate([("c", "sum"), ([], "count_all")])
+    out = agg_named(g, {"k": "key", "c_sum": "total", "count_all": "n"})
+    assert out.column_names == ["key", "total", "n"]
+    rows = {r["key"]: (r["total"], r["n"]) for r in out.to_pylist()}
+    assert rows == {"a": (3, 2), "b": (4, 1)}
+
+    # simulate a keys-LAST pyarrow by reordering the aggregate output
+    flipped = g.select(sorted(g.column_names, reverse=True))
+    out2 = agg_named(flipped, {"k": "key", "c_sum": "total", "count_all": "n"})
+    assert out2.to_pylist() == out.to_pylist()
