@@ -82,38 +82,47 @@ def ctc_beam_search(
     Returns up to ``beam_width`` (prefix, probability) pairs, best first;
     deterministic via (prob, prefix) sort keys.
     """
+    import heapq
+
     t_total, n_classes = logits.shape
-    # normalize frames to probabilities
+    # normalize frames to probabilities; pure-Python floats in the hot loop
+    # (numpy scalar boxing dominates at this size; IEEE math is identical)
     probs = logits / np.maximum(logits.sum(axis=1, keepdims=True), 1e-12)
+    rows = probs.tolist()
+    nonblank = [c for c in range(n_classes) if c != blank]
     beams: dict[tuple[int, ...], tuple[float, float]] = {(): (1.0, 0.0)}
-    for t in range(t_total):
+    key = lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])  # noqa: E731
+    for frame in rows:
         nxt: dict[tuple[int, ...], tuple[float, float]] = {}
-
-        def add(prefix, pb, pnb):
-            b, nb = nxt.get(prefix, (0.0, 0.0))
-            nxt[prefix] = (b + pb, nb + pnb)
-
-        frame = probs[t]
+        get = nxt.get
+        fb = frame[blank]
         for prefix, (pb, pnb) in beams.items():
             total = pb + pnb
-            add(prefix, total * frame[blank], 0.0)  # extend with blank
-            for c in range(n_classes):
-                if c == blank:
-                    continue
+            b, nb = get(prefix, (0.0, 0.0))
+            nxt[prefix] = (b + total * fb, nb)  # extend with blank
+            last = prefix[-1] if prefix else -1
+            for c in nonblank:
                 p = frame[c]
-                if p <= 0:
+                if p <= 0.0:
                     continue
-                if prefix and prefix[-1] == c:
+                if c == last:
                     # repeated frame merges into the same prefix; only a
                     # blank-separated repeat creates a new char
-                    add(prefix, 0.0, pnb * p)
-                    add(prefix + (c,), 0.0, pb * p)
+                    b, nb = nxt[prefix]
+                    nxt[prefix] = (b, nb + pnb * p)
+                    ext = prefix + (c,)
+                    b, nb = get(ext, (0.0, 0.0))
+                    nxt[ext] = (b, nb + pb * p)
                 else:
-                    add(prefix + (c,), 0.0, total * p)
-        pruned = sorted(
-            nxt.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
-        )[:beam_width]
-        beams = dict(pruned)
+                    ext = prefix + (c,)
+                    b, nb = get(ext, (0.0, 0.0))
+                    nxt[ext] = (b, nb + total * p)
+        if len(nxt) > beam_width:
+            # nsmallest(k, key=...) is documented equivalent to
+            # sorted(...)[:k] — same deterministic tie-break
+            beams = dict(heapq.nsmallest(beam_width, nxt.items(), key=key))
+        else:
+            beams = nxt
     out = sorted(
         ((list(p), pb + pnb) for p, (pb, pnb) in beams.items()),
         key=lambda kv: (-kv[1], kv[0]),

@@ -21,11 +21,25 @@ def connected_components(mask: np.ndarray) -> tuple[int, np.ndarray]:
     """4-connected component labeling of a bool mask.
 
     Returns (n_labels, label map) with background=0 and components numbered
-    from 1 in scan order (deterministic).
+    from 1 in scan order (deterministic). Run-based two-pass: horizontal
+    runs are extracted vectorized, union-find operates on RUNS (tens per
+    image) instead of pixels — same output as a pixel-wise pass because a
+    run is by construction one 4-connected unit, and run order is scan
+    order so component numbering matches the first-pixel scan order.
     """
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]
+    if h == 0 or w == 0:
+        return 0, labels
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    ys, xs = np.nonzero(d == 1)    # run start columns (row-major order)
+    _, xe = np.nonzero(d == -1)    # run end columns, exclusive (same order)
+    n_runs = ys.size
+    if n_runs == 0:
+        return 0, labels
+    parent = list(range(n_runs))
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -33,47 +47,36 @@ def connected_components(mask: np.ndarray) -> tuple[int, np.ndarray]:
             x = parent[x]
         return x
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
+    # runs of consecutive rows overlap columns -> same component
+    row_ptr = np.searchsorted(ys, np.arange(h + 1))
+    xs_l, xe_l = xs.tolist(), xe.tolist()
+    for y in range(1, h):
+        i, i_end = int(row_ptr[y - 1]), int(row_ptr[y])
+        j, j_end = i_end, int(row_ptr[y + 1])
+        while i < i_end and j < j_end:
+            if xs_l[i] < xe_l[j] and xs_l[j] < xe_l[i]:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            if xe_l[i] <= xe_l[j]:
+                i += 1
             else:
-                parent[ra] = rb
-
-    nxt = 1
-    for y in range(h):
-        row = mask[y]
-        for x in range(w):
-            if not row[x]:
-                continue
-            up = labels[y - 1, x] if y > 0 else 0
-            left = labels[y, x - 1] if x > 0 else 0
-            if up == 0 and left == 0:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-            elif up and left:
-                labels[y, x] = min(up, left)
-                union(up, left)
-            else:
-                labels[y, x] = up or left
-    # second pass: resolve + renumber in scan order
+                j += 1
+    # renumber roots in first-run (= first-pixel scan) order, paint runs
     remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
     count = 0
-    flat = labels.reshape(-1)
-    res = out.reshape(-1)
-    for i in range(flat.size):
-        v = flat[i]
-        if v == 0:
-            continue
-        r = find(int(v))
-        if r not in remap:
+    ys_l = ys.tolist()
+    for i in range(n_runs):
+        r = find(i)
+        c = remap.get(r)
+        if c is None:
             count += 1
-            remap[r] = count
-        res[i] = remap[r]
-    return count, out
+            c = remap[r] = count
+        labels[ys_l[i], xs_l[i]:xe_l[i]] = c
+    return count, labels
 
 
 def fill_hole(mask: np.ndarray) -> np.ndarray:

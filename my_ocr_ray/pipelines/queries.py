@@ -58,6 +58,17 @@ def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None,
     )
 
 
+def _decode_pool(reserve: int = 4, cap: int = 24) -> int:
+    """Actor-pool ceiling for per-row decode stages (PDF/WAV/PNG/glyph):
+    cluster CPUs minus a reserve for the upstream render tasks and IO,
+    never the whole cluster (a full-width pool starves upstream tasks and
+    stalls the streaming executor — CLAUDE.md resource-fit invariant)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus - reserve, cpus - 1))
+
+
 # ---------------------------------------------------------------------------
 # interleaved-span family (explode / strip / reassemble with SQL oracles)
 # ---------------------------------------------------------------------------
@@ -2325,8 +2336,8 @@ def q_pdf_layout(sf_dir: str):
         .map_batches(
             PdfLayoutStage,
             batch_format="pyarrow",
-            concurrency=(1, 4),
-            batch_size=128,
+            concurrency=(1, _decode_pool()),
+            batch_size=64,
         )
         .map_batches(widen, batch_format="pyarrow")
     )
@@ -2360,8 +2371,8 @@ def q_audio_features(sf_dir: str):
             AudioFeatureStage,
             batch_format="pyarrow",
             fn_constructor_kwargs={"decoder": WavPcmDecoder()},
-            concurrency=(1, 4),
-            batch_size=128,
+            concurrency=(1, _decode_pool()),
+            batch_size=64,
         )
     )
 
@@ -2393,8 +2404,8 @@ def q_video_frames(sf_dir: str):
             VideoFrameSampleStage,
             batch_format="pyarrow",
             fn_constructor_kwargs={"decoder": PngSequenceDecoder(), "stride": 2},
-            concurrency=(1, 4),
-            batch_size=128,
+            concurrency=(1, _decode_pool()),
+            batch_size=64,
         )
     )
 
@@ -2530,6 +2541,8 @@ def q_decode_variants(sf_dir: str, n_docs: int | None = None):
     return media.map_batches(
         DecodeVariantsStage,
         batch_format="pyarrow",
-        concurrency=(1, 4),
-        batch_size=64,
+        # post-optimization the kernel is ~6 ms/row (~6 core-sec total at
+        # bench scale) — a wide pool would be pure startup cost
+        concurrency=(1, _decode_pool(cap=8)),
+        batch_size=32,
     )
