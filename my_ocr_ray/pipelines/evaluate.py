@@ -139,32 +139,40 @@ def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
 
     def partials(batch: pa.Table, _ref=exp_ref) -> pa.Table:
         exp = _expected_index(_ref)
-        n = eq = media = media_ok = 0
+        n = eq = media = media_ok = pdf = pdf_ok = 0
         for r in batch.to_pylist():
             want = exp.get(r["doc_id"])
             got = [dict(s) for s in r["spans"]]
             n += 1
             eq += int(got == want)
-            want_media = {
-                s["media_ref"]: s["text"] for s in (want or []) if s["kind"] == "media"
+            want_by_ref = {
+                s["media_ref"]: s["text"]
+                for s in (want or [])
+                if s["kind"] in ("media", "pdf")
             }
             for s in got:
                 if s["kind"] == "media":
                     media += 1
-                    media_ok += int(s["text"] == want_media.get(s["media_ref"]))
+                    media_ok += int(s["text"] == want_by_ref.get(s["media_ref"]))
+                elif s["kind"] == "pdf":
+                    pdf += 1
+                    pdf_ok += int(s["text"] == want_by_ref.get(s["media_ref"]))
         return pa.Table.from_pydict(
             {
                 "docs": [n],
                 "docs_equal": [eq],
                 "media_spans": [media],
                 "media_correct": [media_ok],
+                "pdf_spans": [pdf],
+                "pdf_correct": [pdf_ok],
             }
         )
 
     from ray.data.aggregate import Sum
 
     agg = extracted_ds.map_batches(partials, batch_format="pyarrow").aggregate(
-        Sum("docs"), Sum("docs_equal"), Sum("media_spans"), Sum("media_correct")
+        Sum("docs"), Sum("docs_equal"), Sum("media_spans"), Sum("media_correct"),
+        Sum("pdf_spans"), Sum("pdf_correct"),
     )
     docs = agg["sum(docs)"] or 0
     return {
@@ -173,6 +181,10 @@ def extraction_accuracy(extracted_ds, expected_tbl: pa.Table) -> dict:
         "media_spans": agg["sum(media_spans)"] or 0,
         "media_text_acc": round(
             (agg["sum(media_correct)"] or 0) / max(agg["sum(media_spans)"] or 0, 1), 6
+        ),
+        "pdf_spans": agg["sum(pdf_spans)"] or 0,
+        "pdf_text_acc": round(
+            (agg["sum(pdf_correct)"] or 0) / max(agg["sum(pdf_spans)"] or 0, 1), 6
         ),
     }
 

@@ -58,6 +58,18 @@ def _read(sf_dir: str, table: str, columns=None, min_blocks: int | None = None,
     )
 
 
+def _png_media(media):
+    """Keep only PNG media rows: ``p-*`` refs carry genuine PDF bytes for
+    the flagship's pdf-span route (``synth.render_media``) and must not
+    reach kernels that decode PNG pixels (pHash, thumbnails, recognizers)."""
+    return media.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.starts_with(b["media_ref"], pattern="p-"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _decode_pool(reserve: int = 4, cap: int = 24) -> int:
     """Actor-pool ceiling for per-row decode stages (PDF/WAV/PNG/glyph):
     cluster CPUs minus a reserve for the upstream render tasks and IO,
@@ -1253,7 +1265,9 @@ def q_image_dups(sf_dir: str, n_docs: int | None = None):
             500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         )
     corpus = ensure_corpus(n_docs, seed=13)
-    media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    media = _png_media(
+        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    )
     return image_dup_pairs(media, max_hamming=3, n_bands=4)
 
 
@@ -2245,7 +2259,9 @@ def q_media_thumbs(sf_dir: str, n_docs: int | None = None):
             500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         )
     corpus = ensure_corpus(n_docs, seed=13)
-    media = ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    media = _png_media(
+        ray.data.read_parquet(sorted(glob.glob(f"{corpus}/media/*.parquet")))
+    )
     return media_thumbnails(media, max_side=32)
 
 
@@ -2534,9 +2550,11 @@ def q_decode_variants(sf_dir: str, n_docs: int | None = None):
             500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         )
     corpus = ensure_corpus(n_docs, seed=13)
-    media = ray.data.read_parquet(
-        sorted(glob.glob(f"{corpus}/media/*.parquet")),
-        columns=["media_ref", "bytes", "gt_text"],
+    media = _png_media(
+        ray.data.read_parquet(
+            sorted(glob.glob(f"{corpus}/media/*.parquet")),
+            columns=["media_ref", "bytes", "gt_text"],
+        )
     )
     return media.map_batches(
         DecodeVariantsStage,

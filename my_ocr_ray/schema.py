@@ -12,9 +12,9 @@ import pyarrow as pa
 
 SPAN_STRUCT = pa.struct(
     [
-        ("kind", pa.string()),       # "text" | "media"
-        ("text", pa.string()),       # raw text for text spans; "" for media input
-        ("media_ref", pa.string()),  # media key for media spans; "" for text
+        ("kind", pa.string()),       # "text" | "html" | "pdf" | "media"
+        ("text", pa.string()),       # raw text/HTML for text spans; "" for media/pdf input
+        ("media_ref", pa.string()),  # media-table key for media/pdf spans; "" for text
         ("offset", pa.int32()),      # strictly increasing per doc — defines order
     ]
 )

@@ -627,6 +627,26 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
     return bytes(buf)
 
 
+def pdf_pages_text(pages: list[list[dict]]) -> str:
+    """Reading-ordered TEXT content of decoded pages: per page, blocks are
+    ordered by ``layout_reading_order`` and the text blocks' lines joined
+    with newlines; image blocks contribute nothing. This is the flagship's
+    pdf-span reduction (north star: "PDF layout parsing, emitting
+    per-document ordered span sequences")."""
+    lines: list[str] = []
+    for blocks in pages:
+        quads = [
+            [b["bbox"][0], b["bbox"][1], b["bbox"][2], b["bbox"][1],
+             b["bbox"][2], b["bbox"][3], b["bbox"][0], b["bbox"][3]]
+            for b in blocks
+        ]
+        for bi in layout_reading_order(quads):
+            b = blocks[bi]
+            if b.get("kind", "text") == "text" and b.get("text"):
+                lines.append(b["text"])
+    return "\n".join(lines)
+
+
 class PdfLayoutStage:
     """Actor-pool stage: (doc_id, bytes) -> ordered layout-block rows.
 

@@ -200,6 +200,11 @@ class OCRStage:
         # dropped (the doc still reassembles without it) and counted.
         self.on_error = on_error
         self.errors = 0
+        # pdf-span reduction state (north star: PDF layout parsing inside
+        # the flagship): decoder built once per actor like the glyph state
+        from ..sources.pdf import PdfDecoder
+
+        self.pdf_decoder = PdfDecoder()
         # long-lived actor state should not be rescanned by cyclic GC on
         # every hot-loop collection
         import gc
@@ -232,8 +237,36 @@ class OCRStage:
             zero_copy_only=False
         )
         media_idx = np.flatnonzero(media_mask)
-        if media_idx.size == 0:
+        pdf_mask = pc.equal(kind, "pdf").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pdf_idx = np.flatnonzero(pdf_mask)
+        if media_idx.size == 0 and pdf_idx.size == 0:
             return _project_span_rows(batch)
+
+        # pdf spans: decode -> reading-ordered text (one pass per span;
+        # failures follow the same skip-and-count policy as media)
+        pdf_texts: list[str] = []
+        pdf_failed: set[int] = set()
+        if pdf_idx.size:
+            from ..sources.pdf import pdf_pages_text
+
+            for slot, data in enumerate(self._image_bytes(batch, pdf_idx)):
+                try:
+                    if data is None:
+                        raise KeyError("missing pdf bytes")
+                    pdf_texts.append(
+                        pdf_pages_text(self.pdf_decoder.decode(data))
+                    )
+                except Exception:
+                    if self.on_error == "raise":
+                        raise
+                    pdf_failed.add(slot)
+                    self.errors += 1
+                    pdf_texts.append("")
+        if media_idx.size == 0:
+            return self._finish(batch, media_idx, [], set(),
+                                 pdf_idx, pdf_texts, pdf_failed)
 
         images = self._image_bytes(batch, media_idx)
 
@@ -297,15 +330,30 @@ class OCRStage:
             )
             ocr_texts.append("\n".join(ln["text"] for ln in lines))
 
-        # write recognized text back into the media rows (vectorized scatter)
-        text_np = batch["text"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
-        text_np[media_idx] = ocr_texts
+        return self._finish(batch, media_idx, ocr_texts, failed_slots,
+                             pdf_idx, pdf_texts, pdf_failed)
+
+    def _finish(self, batch, media_idx, ocr_texts, failed_slots,
+                pdf_idx, pdf_texts, pdf_failed):
+        """Scatter recognized/decoded text back into the span rows and drop
+        failed slots (vectorized; shared by the media and pdf paths)."""
+        text_np = batch["text"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        if media_idx.size:
+            text_np[media_idx] = ocr_texts
+        if pdf_idx.size:
+            text_np[pdf_idx] = pdf_texts
         out = batch.set_column(
-            batch.schema.get_field_index("text"), "text", pa.array(text_np, pa.string())
+            batch.schema.get_field_index("text"), "text",
+            pa.array(text_np, pa.string()),
         )
-        if failed_slots:
+        if failed_slots or pdf_failed:
             keep = np.ones(len(batch), dtype=bool)
-            keep[media_idx[sorted(failed_slots)]] = False
+            if failed_slots:
+                keep[media_idx[sorted(failed_slots)]] = False
+            if pdf_failed:
+                keep[pdf_idx[sorted(pdf_failed)]] = False
             out = out.filter(pa.array(keep))
         return _project_span_rows(out)
 

@@ -70,7 +70,21 @@ def media_gt_text(seed: int, media_ref: str) -> str:
 
 
 def render_media(seed: int, media_ref: str, scale: int = DEFAULT_SCALE) -> dict:
-    """Full media-table row for a media_ref."""
+    """Full media-table row for a media_ref. ``p-*`` refs carry genuine
+    PDF 1.4 bytes (``sources/pdf.py: synth_pdf``) instead of a PNG."""
+    if media_ref.startswith("p-"):
+        from .sources.pdf import PAGE_H, PAGE_W, pdf_lines, synth_pdf
+
+        text = pdf_source_text(seed, media_ref)
+        lines = pdf_lines(text)
+        return {
+            "media_ref": media_ref,
+            "bytes": synth_pdf(pdf_ref_id(media_ref), text),
+            "gt_text": "\n".join(lines),
+            "width": PAGE_W,
+            "height": PAGE_H,
+            "n_lines": len(lines),
+        }
     lines = media_lines(seed, media_ref)
     img = render_text_image(lines, scale=scale)
     return {
@@ -110,6 +124,29 @@ def _boiler_text(rng: np.random.Generator) -> str:
 
 
 HTML_PROB = 0.15  # raw-HTML span share (drawn after media_prob)
+PDF_PROB = 0.08   # pdf span share (drawn after html)
+
+
+def pdf_source_text(seed: int, media_ref: str) -> str:
+    """Source text a pdf media_ref's bytes typeset (pure function)."""
+    rng = _media_rng(seed, media_ref)
+    n = int(rng.integers(8, 26))
+    return " ".join(
+        _CONTENT_WORDS[k] for k in rng.integers(0, len(_CONTENT_WORDS), n)
+    )
+
+
+def pdf_ref_id(media_ref: str) -> int:
+    """Stable int id for a pdf media_ref (controls image-XObject parity)."""
+    return int(hashlib.md5(media_ref.encode()).hexdigest()[:6], 16)
+
+
+def pdf_gt_text(seed: int, media_ref: str) -> str:
+    """Golden extracted text for a pdf span: the generator's own line
+    layout joined top-down — independent of the decoder under test."""
+    from .sources.pdf import pdf_lines
+
+    return "\n".join(pdf_lines(pdf_source_text(seed, media_ref)))
 
 
 def make_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -> dict:
@@ -130,7 +167,12 @@ def make_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.2) -
             spans.append(
                 {"kind": "html", "text": page, "media_ref": "", "offset": j}
             )
-        elif r < media_prob + HTML_PROB + 0.25:
+        elif r < media_prob + HTML_PROB + PDF_PROB:
+            ref = f"p-{i:08d}-{j}"
+            spans.append(
+                {"kind": "pdf", "text": "", "media_ref": ref, "offset": j}
+            )
+        elif r < media_prob + HTML_PROB + PDF_PROB + 0.25:
             txt = _boiler_text(rng)
             assert is_boilerplate_span(txt), txt
             spans.append(
@@ -158,6 +200,15 @@ def expected_doc(seed: int, i: int, max_spans: int = 200, media_prob: float = 0.
                 {
                     "kind": "media",
                     "text": media_gt_text(seed, s["media_ref"]),
+                    "media_ref": s["media_ref"],
+                    "offset": s["offset"],
+                }
+            )
+        elif s["kind"] == "pdf":
+            out.append(
+                {
+                    "kind": "pdf",
+                    "text": pdf_gt_text(seed, s["media_ref"]),
                     "media_ref": s["media_ref"],
                     "offset": s["offset"],
                 }
@@ -229,7 +280,10 @@ def corpus_tables(
     docs = [make_doc(seed, i, max_spans, media_prob) for i in range(n_docs)]
     expected = [expected_doc(seed, i, max_spans, media_prob) for i in range(n_docs)]
     refs = [
-        s["media_ref"] for d in docs for s in d["spans"] if s["kind"] == "media"
+        s["media_ref"]
+        for d in docs
+        for s in d["spans"]
+        if s["kind"] in ("media", "pdf")
     ]
     media = [render_media(seed, r, scale) for r in refs]
     return (
@@ -269,7 +323,7 @@ def write_corpus(
         for i in batch["id"].to_pylist():
             doc = make_doc(seed, int(i), max_spans, media_prob)
             for s in doc["spans"]:
-                if s["kind"] == "media":
+                if s["kind"] in ("media", "pdf"):
                     rows.append(render_media(seed, s["media_ref"], scale))
         return _rows_to_table(rows, MEDIA_SCHEMA)
 

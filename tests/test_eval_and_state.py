@@ -54,6 +54,7 @@ def test_extraction_accuracy_end_to_end(ray_session):
     assert acc["docs"] == 20
     assert acc["span_equality_rate"] == 1.0
     assert acc["media_text_acc"] == 1.0
+    assert acc["pdf_spans"] > 0 and acc["pdf_text_acc"] == 1.0
 
 
 def test_error_skip_policy(ray_session):

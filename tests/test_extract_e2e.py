@@ -45,3 +45,45 @@ def test_two_phase_salted(ray_session, corpus):
 
 def test_media_shuffle_join(ray_session, corpus):
     _run(ray_session, corpus, media_ds=True, join_num_partitions=4)
+
+
+def test_corpus_exercises_all_span_kinds(corpus):
+    """The golden corpus must contain every flagship span kind — text,
+    html, pdf AND media — so the equality tests above actually cover the
+    HTML-strip, PDF-layout and OCR reductions (north-star components)."""
+    docs, _, expected = corpus
+    kinds = {s["kind"] for r in docs.to_pylist() for s in r["spans"]}
+    assert kinds == {"text", "html", "pdf", "media"}
+    # pdf expectations are non-trivial: multi-line reading-order text
+    pdf_exp = [
+        s["text"]
+        for r in expected.to_pylist()
+        for s in r["spans"]
+        if s["kind"] == "pdf"
+    ]
+    assert pdf_exp and any("\n" in t for t in pdf_exp)
+
+
+def test_pdf_span_failure_skips(ray_session, corpus):
+    """A pdf span whose bytes are out-of-profile is skipped (not fatal)
+    under on_error='skip', mirroring the media broken-sample policy."""
+    import ray.data
+
+    docs, media, expected = corpus
+    bad = dict(zip(media["media_ref"].to_pylist(), media["bytes"].to_pylist()))
+    # corrupt every pdf payload
+    pdf_refs = [r for r in bad if r.startswith("p-")]
+    for r in pdf_refs:
+        bad[r] = b"not a pdf"
+    docs_ds = ray.data.from_arrow(docs).repartition(4)
+    out = extract(
+        docs_ds,
+        media_lookup_ref=ray_session.put(bad),
+        on_error="skip",
+    ).take_all()
+    got = _got_map(out)
+    exp = {
+        doc: [s for s in spans if s["kind"] != "pdf"]
+        for doc, spans in _expected_map(expected).items()
+    }
+    assert got == exp

@@ -50,7 +50,7 @@ def test_build_pipeline_runs_spec(ray_session):
                                if hasattr(ray_session, "data")
                                else ray.data.from_arrow(docs)).take_all()
     assert out and all("n_tokens" in r for r in out)
-    assert all(r["kind"] in ("text", "html", "media") for r in out)
+    assert all(r["kind"] in ("text", "html", "pdf", "media") for r in out)
 
 
 def test_unknown_step_raises(ray_session):

@@ -5,6 +5,7 @@ from my_ocr_ray.synth import (
     make_doc,
     media_gt_text,
     media_lines,
+    pdf_gt_text,
     render_media,
 )
 
@@ -37,6 +38,11 @@ def test_expected_doc_semantics():
         orig = by_off[s["offset"]]
         if s["kind"] == "media":
             assert s["text"] == media_gt_text(7, s["media_ref"])
+        elif s["kind"] == "pdf":
+            assert s["text"] == pdf_gt_text(7, s["media_ref"])
+        elif s["kind"] == "html":
+            # main content only, recovered from the generator template
+            assert s["text"] and s["text"] in orig["text"]
         else:
             assert s == orig and not is_boilerplate_span(s["text"])
     # all dropped spans were boilerplate
@@ -50,6 +56,9 @@ def test_corpus_tables_shapes():
     docs, media, expected = corpus_tables(10, seed=3)
     assert docs.num_rows == 10 and expected.num_rows == 10
     n_media_spans = sum(
-        1 for r in docs.to_pylist() for s in r["spans"] if s["kind"] == "media"
+        1
+        for r in docs.to_pylist()
+        for s in r["spans"]
+        if s["kind"] in ("media", "pdf")
     )
     assert media.num_rows == n_media_spans
