@@ -37,6 +37,26 @@ _TEMPLATES: list[tuple[str, np.ndarray]] = [
 _EXACT: dict[tuple[tuple[int, int], bytes], int] = {
     (tpl.shape, tpl.tobytes()): i for i, (_, tpl) in enumerate(_TEMPLATES)
 }
+# per-render-scale exact dicts keyed by the FULL-SCALE trimmed bitmap, so the
+# hit path skips the block-mean downsample entirely (the downsample + two
+# flatnonzero trims were ~45% of recognition CPU at scale=2 — measured with
+# cProfile on 8k-span batches).  Sound because renders are exact kron
+# upscales aligned to ``scale`` (see imaging.render_text_image), so a clean
+# glyph's trimmed full-scale bytes are a deterministic function of (char,
+# scale); anything else (noise, rotation TTA variants) misses and falls back
+# to the downsample + Hamming path with identical results.
+_EXACT_SCALED: dict[int, dict[tuple[tuple[int, int], bytes], int]] = {}
+
+
+def _exact_for_scale(scale: int) -> dict[tuple[tuple[int, int], bytes], int]:
+    d = _EXACT_SCALED.get(scale)
+    if d is None:
+        d = {}
+        for i, (_, tpl) in enumerate(_TEMPLATES):
+            big = np.kron(tpl, np.ones((scale, scale), dtype=bool))
+            d[(big.shape, big.tobytes())] = i
+        _EXACT_SCALED[scale] = d
+    return d
 
 
 def binarize(img: np.ndarray) -> np.ndarray:
@@ -48,15 +68,15 @@ def _runs(mask_1d: np.ndarray) -> list[tuple[int, int]]:
     """Contiguous True runs as half-open (start, stop) index pairs."""
     if mask_1d.size == 0:
         return []
-    m = mask_1d.astype(np.int8)
-    diff = np.diff(m)
-    starts = list(np.flatnonzero(diff == 1) + 1)
-    stops = list(np.flatnonzero(diff == -1) + 1)
-    if m[0]:
-        starts.insert(0, 0)
-    if m[-1]:
-        stops.append(len(m))
-    return list(zip(starts, stops))
+    # one transition scan: indices where the mask flips are alternating
+    # run boundaries (start, stop, start, ...), anchored by the edge values
+    bounds = (np.flatnonzero(mask_1d[1:] != mask_1d[:-1]) + 1).tolist()
+    if mask_1d[0]:
+        bounds.insert(0, 0)
+    if mask_1d[-1]:
+        bounds.append(len(mask_1d))
+    it = iter(bounds)
+    return list(zip(it, it))
 
 
 def _merge_runs(runs: list[tuple[int, int]], max_gap: int) -> list[tuple[int, int]]:
@@ -150,16 +170,24 @@ def word_glyph_classes(
     frames) and the seg/attention decode variants (pipelines/queries.py
     q_decode_variants), which re-express the same matches as a class map /
     per-step logits."""
-    rows = np.flatnonzero(word_ink.any(axis=1))
-    if rows.size == 0:
+    row_ink = word_ink.any(axis=1)
+    if not row_ink.any():
         return word_ink[:0], []
-    ink = word_ink[rows[0] : rows[-1] + 1]
+    top = int(row_ink.argmax())
+    bot = len(row_ink) - int(row_ink[::-1].argmax())
+    ink = word_ink[top:bot]
+    exact = _exact_for_scale(scale)
     out: list[tuple[int, int, int, float]] = []
     for x0, x1 in _runs(ink.any(axis=0)):
         g = ink[:, x0:x1]
-        gr = np.flatnonzero(g.any(axis=1))
-        g = g[gr[0] : gr[-1] + 1]
-        cls, conf = _match_glyph(_downsample_block(g, scale))
+        gr = g.any(axis=1)
+        gt = int(gr.argmax())
+        g = g[gt : len(gr) - int(gr[::-1].argmax())]
+        hit = exact.get((g.shape, g.tobytes()))
+        if hit is not None:
+            cls, conf = hit, 1.0
+        else:
+            cls, conf = _match_glyph(_downsample_block(g, scale))
         out.append((x0, x1, cls, conf))
     return ink, out
 
