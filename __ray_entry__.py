@@ -162,7 +162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extract": Q.q_flagship_extract,
         "span_explode": Q.q_span_explode,
         "extract_reassemble": Q.q_extract_reassemble,
-        "extract_strip": Q.q_extract_strip,
         "recog_parse": Q.q_recog_parse,
         "det_parse": Q.q_det_parse,
         "det_sink": Q.q_det_sink,
@@ -177,7 +176,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": Q.q_quality_gate,
         "events_window": Q.q_events_window,
         "sessionize": Q.q_sessionize,
-        "sessionize_salted": Q.q_sessionize_salted,
         "interval_merge": Q.q_interval_merge,
         "orders_join": Q.q_orders_join,
         "asof_join": Q.q_asof_join,
@@ -209,7 +207,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout": Q.q_pdf_layout,
         "audio_features": Q.q_audio_features,  # rows-only: no SQL WAV parser
         "decode_variants": Q.q_decode_variants,  # rows-only: OCR decode paths, golden-pinned
+        "url_canonical": Q.q_url_canonical,
+        "url_host_stats": Q.q_url_host_stats,
         # --- past the driver's 50-entry window (same families) ---
+        "extract_strip": Q.q_extract_strip,          # extract-family twin
+        "sessionize_salted": Q.q_sessionize_salted,  # sessionize twin (skew path)
+        "url_filter": Q.q_url_filter,
         "mix_strata": Q.q_mix_strata,
         "winnow_pairs": Q.q_winnow_pairs,
         "drop_dup_passages": Q.q_drop_dup_passages,
@@ -1800,4 +1803,48 @@ def oracle_sql() -> dict[str, str]:
     # the salted two-phase sessionize must equal the plain one exactly —
     # same oracle proves it value-for-value
     out["sessionize_salted"] = out["sessionize"]
+    # URL family: the synthetic crawl URL is pure string concatenation over
+    # (doc_id, source), so the oracle states the raw URL and the expected
+    # canonical form directly from the generative model (same move as
+    # pdf_layout) while the Ray path does the real RFC-3986 parsing.
+    out["url_canonical"] = """
+        WITH u AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 2 = 1 THEN 'https' ELSE 'http' END AS scheme,
+            CASE WHEN doc_id % 5 = 0 THEN ':8080'
+                 WHEN doc_id % 3 = 0 THEN
+                   CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE ':80' END
+                 ELSE '' END AS rawport,
+            CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END AS canonport
+          FROM documents)
+        SELECT doc_id,
+          scheme || '://WWW.Docs.' || source || '.COM' || rawport
+            || '/a/' || CAST(doc_id % 7 AS VARCHAR) || '/./x/../p%7E'
+            || CAST(doc_id AS VARCHAR) || '.html?utm_source=feed&z='
+            || CAST(doc_id % 3 AS VARCHAR) || '&a=1&gclid=g'
+            || CAST(doc_id AS VARCHAR) || '#sec' || CAST(doc_id AS VARCHAR)
+            AS url,
+          scheme || '://www.docs.' || lower(source) || '.com' || canonport
+            || '/a/' || CAST(doc_id % 7 AS VARCHAR) || '/p~'
+            || CAST(doc_id AS VARCHAR) || '.html?a=1&z='
+            || CAST(doc_id % 3 AS VARCHAR) AS canon_url,
+          'www.docs.' || lower(source) || '.com' AS host,
+          lower(source) || '.com' AS domain
+        FROM u
+    """
+    out["url_host_stats"] = """
+        SELECT lower(source) || '.com' AS domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY domain
+    """
+    out["url_filter"] = """
+        WITH d AS (SELECT DISTINCT lower(source) || '.com' AS domain
+                   FROM documents),
+             r AS (SELECT domain,
+                          row_number() OVER (ORDER BY domain) AS rn FROM d)
+        SELECT doc_id, r.domain
+        FROM documents JOIN r ON lower(source) || '.com' = r.domain
+        WHERE rn % 2 = 0 ORDER BY doc_id
+    """
     return out

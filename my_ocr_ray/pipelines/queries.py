@@ -2564,3 +2564,133 @@ def q_decode_variants(sf_dir: str, n_docs: int | None = None):
         concurrency=(1, _decode_pool(cap=8)),
         batch_size=32,
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization family (web-crawl curation; beyond-reference — the
+# key-normalization layer every crawl-scale dedup/mixing pipeline needs)
+# ---------------------------------------------------------------------------
+
+
+def _synth_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic messy crawl URL per document (mixed-case host, default
+    or explicit port, dot-segments, an unreserved percent-escape, tracking
+    params, fragment) — the generative model is plain string concatenation
+    over (doc_id, source), so the DuckDB oracle can state both the raw URL
+    and its expected canonical form exactly."""
+    ids = batch["doc_id"].to_pylist()
+    srcs = batch["source"].to_pylist()
+    urls = []
+    for i, s in zip(ids, srcs):
+        scheme = "https" if i % 2 else "http"
+        if i % 5 == 0:
+            port = ":8080"  # non-default: must survive canonicalization
+        elif i % 3 == 0:
+            port = ":443" if i % 2 else ":80"  # default: must be stripped
+        else:
+            port = ""
+        urls.append(
+            f"{scheme}://WWW.Docs.{s}.COM{port}"
+            f"/a/{i % 7}/./x/../p%7E{i}.html"
+            f"?utm_source=feed&z={i % 3}&a=1&gclid=g{i}#sec{i}"
+        )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+
+
+def q_url_canonical(sf_dir: str):
+    """RFC-3986 syntax normalization + crawl-dedup canonicalization of one
+    URL per document (``functions/url.py: canonicalize_url``): lowercased
+    scheme/host, default ports stripped, dot-segments resolved, unreserved
+    percent-escapes decoded, fragment and tracking params dropped, query
+    sorted; plus host and registrable-domain extraction. Stateless scalar
+    map — no shuffle at any scale."""
+    from ..functions.url import canonicalize_url_batch
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "url", "canon_url", "host", "domain"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(_synth_urls, batch_format="pyarrow")
+        .map_batches(canonicalize_url_batch, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
+def q_url_host_stats(sf_dir: str):
+    """Per-registrable-domain crawl statistics over CANONICALIZED urls —
+    page count and total chars per domain, the input to domain-level
+    mixing weights / per-site quality decisions. Map-side pyarrow partial
+    per block, then one Sum groupby over the skinny (domain, n, chars)
+    partials — the document stream is never exchanged."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import agg_named
+    from ..functions.url import canonicalize_url_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "domain": batch["domain"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+        g = t.group_by("domain").aggregate([("n", "sum"), ("chars", "sum")])
+        return agg_named(
+            g, {"domain": "domain", "n_sum": "n", "chars_sum": "chars"}
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(_synth_urls, batch_format="pyarrow")
+        .map_batches(canonicalize_url_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n"), Sum("chars"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "domain": batch["domain"],
+                "n_pages": pc.cast(batch["sum(n)"], pa.int64()),
+                "total_chars": pc.cast(batch["sum(chars)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("domain")
+
+
+def q_url_filter(sf_dir: str):
+    """Domain-blocklist filtering with a broadcast small side: derive the
+    blocklist from the corpus itself (odd-ranked domains in sorted order —
+    deterministic and SQL-reproducible), broadcast it, and anti-filter the
+    stream in a pure map. The blocklist is the classic broadcast-lookup
+    shape: built once from a skinny distinct pass, shipped via ``ray.put``
+    to every filter task, never a shuffle join."""
+    import ray
+
+    from ..functions.url import canonicalize_url_batch
+
+    canon = (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(_synth_urls, batch_format="pyarrow")
+        .map_batches(canonicalize_url_batch, batch_format="pyarrow")
+    )
+    # distinct over the skinny domain column (domain cardinality ~ sources)
+    domains = sorted(canon.select_columns(["domain"]).unique("domain"))
+    blocked_ref = ray.put(frozenset(domains[::2]))  # ranks 1,3,5... in SQL
+
+    def keep(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        mask = pa.array([d not in blocked for d in batch["domain"].to_pylist()])
+        return batch.filter(mask).select(["doc_id", "domain"])
+
+    return canon.map_batches(keep, batch_format="pyarrow").sort("doc_id")
