@@ -133,8 +133,11 @@ def main() -> None:
             # scaling needs a long-enough job that fixed costs (cold worker
             # start + imports + media index ~20s) amortize — the target
             # workload is 10^12 docs; a short job measures startup, not
-            # steady-state scaling
-            n_docs *= 8
+            # steady-state scaling. 16x after the glyph/PDF kernel speedups
+            # (~1.5x): at 8x the 32-CPU leg finished in ~60s and the fixed
+            # ~15s cost alone read as an 0.78 "efficiency"; 16x restores the
+            # pre-speedup job LENGTH, which is what amortization is about
+            n_docs *= 16
         # INTERLEAVED pairs, not best-of-N per leg: on a shared host the
         # machine state drifts between runs, and independently taking each
         # leg's max can pair an anomalously fast 8-CPU sample with a normal

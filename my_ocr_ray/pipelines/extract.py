@@ -43,20 +43,30 @@ def load_media_lookup(media_path: str):
     zero-copy out of plasma, so per-actor startup cost is just building the
     media_ref -> row-index dict, and the image bytes are shared across all
     actors on a node instead of deserialized per actor.
+
+    The read + index build runs in a detached Ray TASK, not on the driver:
+    at 1.6M docs (3.9M media rows, 1.8 GB) the build is ~6s of serial work
+    that would otherwise sit on the critical path before the pipeline can
+    even start — as a task it overlaps the read/actor-pool ramp-up, and the
+    OCR actors block in ``__init__``'s ``ray.get`` only if they win the race.
     """
     import ray
 
-    if isinstance(media_path, (list, tuple)) or os.path.isdir(str(media_path)):
-        import pyarrow.dataset as pads
+    @ray.remote(num_cpus=2)
+    def _build(path):
+        if isinstance(path, (list, tuple)) or os.path.isdir(str(path)):
+            import pyarrow.dataset as pads
 
-        tbl = pads.dataset(media_path, format="parquet").to_table(
-            columns=["media_ref", "bytes"]
-        )
-    else:
-        tbl = pq.read_table(media_path, columns=["media_ref", "bytes"])
-    from ..stages.ocrstage import _MediaTableLookup
+            tbl = pads.dataset(path, format="parquet").to_table(
+                columns=["media_ref", "bytes"]
+            )
+        else:
+            tbl = pq.read_table(path, columns=["media_ref", "bytes"])
+        from ..stages.ocrstage import _MediaTableLookup
 
-    return ray.put(_MediaTableLookup.precompute(tbl.combine_chunks()))
+        return _MediaTableLookup.precompute(tbl.combine_chunks())
+
+    return _build.remote(media_path)
 
 
 # target span rows per shuffle partition: scales partition count LINEARLY
