@@ -1413,7 +1413,12 @@ def drop_dup_passages(docs_ds, chunk: int = 20, num_partitions: int | None = Non
         path = "join" if drops.count() > broadcast_threshold else "broadcast"
     if path == "join":
         return _drop_dup_passages_join(docs_ds, drops, chunk, num_partitions)
-    drop_keys = np.asarray(sorted(drops.unique("key")), dtype=np.int64)
+    # keys left the h-hash exchange already globally unique — pull the
+    # column (np.unique = defensive sort+dedup), skip Dataset.unique's
+    # second all-to-all
+    from .functions.tables import pull_column_numpy
+
+    drop_keys = np.unique(pull_column_numpy(drops, "key", np.int64))
     drop_ref = ray.put(drop_keys)
 
     def rebuild(batch: pa.Table, drop_ref=drop_ref) -> pa.Table:
@@ -1657,8 +1662,12 @@ def drop_frequent_lines(docs_ds, chunk: int = 5, min_count: int = 3,
             docs_ds, drops, chunk, num_partitions,
             lambda p: p["h"].combine_chunks(),
         )
-    drop_keys = np.sort(
-        np.asarray(drops.unique("key"), dtype="S32")
+    # frequent-line hashes are unique per h-partition post-exchange: pull
+    # directly, no second Dataset.unique shuffle
+    from .functions.tables import pull_column_numpy
+
+    drop_keys = np.unique(
+        np.asarray(pull_column_numpy(drops, "key").tolist(), dtype="S32")
     )
     drop_ref = ray.put(drop_keys)
 
@@ -1854,7 +1863,11 @@ def dup_span_stats(docs_ds, n: int = 8, num_partitions: int | None = None,
         path = "join" if dups.count() > broadcast_threshold else "broadcast"
     if path == "join":
         return _dup_span_stats_join(docs_ds, dups, n, num_partitions)
-    dk = np.sort(np.asarray(dups.unique("key"), dtype=np.int64))
+    # gram keys are unique per key-partition post-exchange: pull directly,
+    # no second Dataset.unique shuffle
+    from .functions.tables import pull_column_numpy
+
+    dk = np.unique(pull_column_numpy(dups, "key", np.int64))
     dk_ref = ray.put(dk)
 
     def cover(batch: pa.Table, dk_ref=dk_ref) -> pa.Table:
