@@ -81,6 +81,95 @@ SPAN_ROWS_PER_PARTITION = 2_000_000
 # used only to size the shuffle, not for correctness
 EST_SPANS_PER_DOC = 8
 
+# broadcast the media table only while it fits comfortably next to the
+# pipeline's working set: above this fraction of the object store the
+# ray.put copy + per-node resolution would crowd out streaming blocks and
+# eventually OOM the store — switch to the shuffle join, which never holds
+# more than a partition of media bytes at once
+MEDIA_BROADCAST_FRACTION = 0.25
+
+# auto-salt trigger: a single document whose span rows approach a healthy
+# shuffle block (SPAN_ROWS_PER_PARTITION) serializes its rebuild in one
+# aggregator; beyond this per-doc row budget the salted two-phase merge
+# splits the hot doc across n_salt partitions
+SALT_ROW_BUDGET = 250_000
+SALT_SAMPLE_DOCS = 512
+# sampled max understates the true max (a 512-doc sample misses the tail);
+# the trigger applies this multiplier before comparing to the budget
+SALT_TAIL_SAFETY = 4
+
+
+def choose_media_strategy(
+    media_bytes: Optional[int],
+    object_store_bytes: Optional[int],
+    broadcast_fraction: float = MEDIA_BROADCAST_FRACTION,
+) -> str:
+    """'broadcast' while the media table fits in ``broadcast_fraction`` of
+    the object store, else 'join'. Unknown sizes take the join path — the
+    safe default at scale (broadcast of an unbounded table is the one
+    failure mode that cannot degrade gracefully)."""
+    if media_bytes is None or object_store_bytes is None:
+        return "join"
+    return (
+        "broadcast"
+        if media_bytes <= broadcast_fraction * object_store_bytes
+        else "join"
+    )
+
+
+def estimate_parquet_bytes(paths) -> Optional[int]:
+    """Uncompressed byte estimate from parquet footers only (sum of
+    row-group ``total_byte_size``) — approximates the in-memory Arrow table
+    the broadcast path would pin in plasma. Never reads data pages."""
+    import glob as _glob
+
+    if isinstance(paths, str):
+        paths = (
+            sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    try:
+        total = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            total += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+        return total
+    except Exception:
+        return None
+
+
+def _sample_max_spans(docs_ds, n: int = SALT_SAMPLE_DOCS) -> Optional[int]:
+    """Max spans-per-doc over the first ``n`` documents (drives the
+    auto-salt trigger). Executes only enough read tasks to fill the limit;
+    the blocks pulled to the driver are n docs, not the corpus."""
+    import pyarrow.compute as pc
+
+    try:
+        mx = 0
+        for b in docs_ds.limit(n).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                v = pc.max(pc.list_value_length(b["spans"])).as_py()
+                mx = max(mx, int(v or 0))
+        return mx
+    except Exception:
+        return None
+
+
+def _auto_salt(docs_ds, row_budget: int = SALT_ROW_BUDGET) -> Optional[int]:
+    """None (default single-phase reassembly) or an n_salt for the salted
+    two-phase path, decided from a sampled max-spans-per-doc estimate vs the
+    per-group row budget — the pipeline never relies on a caller remembering
+    the flag for pathological documents."""
+    mx = _sample_max_spans(docs_ds)
+    if not mx or mx * SALT_TAIL_SAFETY <= row_budget:
+        return None
+    return int(max(8, min(64, -(-mx * SALT_TAIL_SAFETY // row_budget))))
+
 
 def _approx_input_rows(ds) -> Optional[int]:
     """Row count from metadata only (parquet stats / in-memory tables) —
@@ -96,10 +185,12 @@ def extract(
     media_lookup_ref=None,
     media_ds=None,
     *,
+    media_path=None,
     scale: int = 2,
     ocr_concurrency: Optional[int] = None,
     ocr_batch_size: int = 256,
-    two_phase_salt: Optional[int] = None,
+    two_phase_salt: "Optional[int] | str" = "auto",
+    salt_row_budget: int = SALT_ROW_BUDGET,
     join_num_partitions: Optional[int] = None,
     shuffle: str = "hash",
     shuffle_partitions: Optional[int] = None,
@@ -108,6 +199,15 @@ def extract(
     ocr_stage_kwargs: Optional[dict] = None,
 ):
     """Run the full extraction pipeline; returns a documents-schema Dataset.
+
+    Media strategy: pass ``media_lookup_ref`` (broadcast) or ``media_ds``
+    (shuffle join) to choose explicitly, or ``media_path`` (parquet file /
+    dir / list) to let :func:`choose_media_strategy` pick from the table's
+    footer-estimated bytes vs the object store size.
+
+    Skew: ``two_phase_salt="auto"`` (default) samples max spans-per-doc and
+    switches to the salted two-phase reassembly only when a hot document
+    would exceed ``salt_row_budget`` rows in one group block.
 
     Resource auto-sizing: the OCR actor pool, the hash-shuffle aggregators
     and the join aggregators must all fit on the cluster simultaneously or
@@ -121,6 +221,35 @@ def extract(
     claim, so growing data never shrinks the OCR pool.
     """
     import ray
+
+    if media_path is not None:
+        if media_lookup_ref is not None or media_ds is not None:
+            raise ValueError("pass media_path OR media_lookup_ref/media_ds")
+        store = (
+            ray.cluster_resources().get("object_store_memory")
+            if ray.is_initialized()
+            else None
+        )
+        strategy = choose_media_strategy(
+            estimate_parquet_bytes(media_path), store
+        )
+        if strategy == "broadcast":
+            media_lookup_ref = load_media_lookup(media_path)
+        else:
+            import glob as _glob
+
+            import ray.data  # noqa: F401 (registers the ray.data namespace)
+
+            files = (
+                sorted(_glob.glob(os.path.join(media_path, "*.parquet")))
+                if isinstance(media_path, str) and os.path.isdir(media_path)
+                else media_path
+            )
+            media_ds = ray.data.read_parquet(
+                files, columns=["media_ref", "bytes"]
+            )
+    if two_phase_salt == "auto":
+        two_phase_salt = _auto_salt(docs_ds, salt_row_budget)
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     aggregator_cpu_budget = max(1.0, cpus / 8)
