@@ -205,8 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": Q.q_hll_users,  # rows-only: sketch estimate has no SQL twin
         "html_extract": Q.q_html_extract,
         "pdf_layout": Q.q_pdf_layout,
-        "audio_features": Q.q_audio_features,  # rows-only: no SQL WAV parser
-        "decode_variants": Q.q_decode_variants,  # rows-only: OCR decode paths, golden-pinned
+        "audio_features": Q.q_audio_features,  # full oracle (integer-exact WAV model)
+        "decode_variants": Q.q_decode_variants,  # full oracle (decoders exact on the glyph font)
         "url_canonical": Q.q_url_canonical,
         "url_host_stats": Q.q_url_host_stats,
         # --- past the driver's 50-entry window (same families) ---
@@ -217,7 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": Q.q_winnow_pairs,
         "drop_dup_passages": Q.q_drop_dup_passages,
         "token_budget": Q.q_token_budget,
-        "video_frames": Q.q_video_frames,  # rows-only: no SQL PNG parser
+        "video_frames": Q.q_video_frames,  # full oracle (generator gradient restated in SQL)
         "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
@@ -675,6 +675,75 @@ def oracle_sql() -> dict[str, str]:
                      WHERE ln < 12 GROUP BY doc_id) c USING (doc_id)
           WHERE d.doc_id % 2 = 0)
         SELECT * FROM txt UNION ALL SELECT * FROM img
+        """,
+        # audio_features: the WAV generator's waveform is integer-exact
+        # (sources/av.py: synth_pcm), so the oracle restates every int16
+        # sample with BIGINT arithmetic and derives the features through
+        # the SAME single double expression the stage uses (exact-integer
+        # sum of squares -> sqrt(ssq/n)/32768) — hash-exact, no float
+        # association drift. Ray runs the real RIFF/WAVE codec; SQL runs
+        # the generative model (the pdf_layout / url_canonical move).
+        "audio_features": r"""
+        WITH d AS (SELECT doc_id AS cid,
+                          CAST(800 + 50*n_chars AS BIGINT) AS n,
+                          2*(doc_id % 127) + 3 AS a
+                   FROM documents),
+        s AS (SELECT cid, n,
+                list_transform(generate_series(0, n-1), t ->
+                  (abs((a*t + cid) % 2048 - 1024) - 512) * 48
+                  + ((1103515245*t + 12345*cid) % 97) - 48) AS pcm
+              FROM d)
+        SELECT CAST(cid AS VARCHAR) AS clip_id,
+               n AS n_samples,
+               round(n / 16000.0, 6) AS duration_sec,
+               round(sqrt(CAST(list_sum(list_transform(pcm, x -> x*x))
+                               AS DOUBLE) / n) / 32768.0, 6) AS rms,
+               CAST(len(list_filter(generate_series(1, n-1),
+                        i -> (pcm[i] < 0) <> (pcm[i+1] < 0))) AS BIGINT)
+                 AS zero_crossings
+        FROM s
+        """,
+        # video_frames: stride-2 sampling of 1 + doc_id % 4 PNG frames whose
+        # pixels are the generator's (x*7 + y*13 + cid*31 + f*17) % 256
+        # gradient — geometry and mean luma restated exactly in SQL; Ray
+        # decodes the real PNG bytes.
+        "video_frames": r"""
+        WITH f AS (SELECT doc_id, u.i AS frame_idx
+                   FROM documents, unnest([0, 2]) AS u(i)
+                   WHERE u.i < 1 + doc_id % 4)
+        SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(16 AS INTEGER) AS width,
+               CAST(12 AS INTEGER) AS height,
+               round(list_sum(flatten(list_transform(generate_series(0, 11),
+                 y -> list_transform(generate_series(0, 15),
+                   x -> (x*7 + y*13 + doc_id*31 + frame_idx*17) % 256))))
+                 / 192.0, 6) AS mean_luma
+        FROM f
+        """,
+        # decode_variants: media rendered from each document's own text
+        # (queries.decode_render_lines — ASCII-alnum tokens via an
+        # RE2-shared regex, <=6 words of <=7 chars over <=2 lines); all
+        # four decoders are exact on the glyph font, so every text column
+        # equals the derived layout.
+        "decode_variants": r"""
+        WITH t AS (SELECT doc_id,
+                    list_transform(
+                      regexp_extract_all(text, '[0-9A-Za-z]+')[1:6],
+                      x -> substr(upper(x), 1, 7)) AS toks
+                   FROM documents),
+        l AS (SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN 'X0'
+                    ELSE array_to_string(toks[1:3], ' ')
+                      || CASE WHEN len(toks) > 3
+                              THEN chr(10) || array_to_string(toks[4:6], ' ')
+                              ELSE '' END
+               END AS gt
+              FROM t)
+        SELECT CAST(doc_id AS VARCHAR) AS media_ref, gt AS gt_text,
+               gt AS text_greedy, gt AS text_beam,
+               gt AS text_attn, gt AS text_seg
+        FROM l
         """,
         "html_extract": f"""
         WITH n AS (SELECT doc_id,

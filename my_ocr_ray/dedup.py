@@ -1666,8 +1666,9 @@ def drop_frequent_lines(docs_ds, chunk: int = 5, min_count: int = 3,
     # directly, no second Dataset.unique shuffle
     from .functions.tables import pull_column_numpy
 
+    # np.asarray encodes the object ndarray directly — no .tolist() copy
     drop_keys = np.unique(
-        np.asarray(pull_column_numpy(drops, "key").tolist(), dtype="S32")
+        np.asarray(pull_column_numpy(drops, "key"), dtype="S32")
     )
     drop_ref = ray.put(drop_keys)
 

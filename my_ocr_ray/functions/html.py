@@ -68,6 +68,12 @@ class _BlockCollector(HTMLParser):
         if tag in SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
+        if tag in ("body", "html"):
+            # wild-HTML guard: an unclosed <nav>/<aside> would otherwise
+            # swallow every block after it; </body> implicitly closes any
+            # open skip region (matching the HTML5 tree-builder's implied
+            # end tags)
+            self._skip_depth = 0
         if self._skip_depth:
             return
         if tag in BLOCK_TAGS:

@@ -14,14 +14,45 @@ def pull_column_numpy(ds, col: str, dtype=None) -> np.ndarray:
     pulls the column's blocks straight to the driver as numpy instead.
     Only call it on datasets known to fit driver memory (the callers all
     gate on a broadcast row-count threshold first).
+
+    Nulls in the column are rejected: ``to_numpy(zero_copy_only=False)``
+    on a nulled int column silently yields float64 NaN that an int
+    ``astype`` would corrupt into INT_MIN keys.
     """
-    parts = [
-        b[col].to_numpy(zero_copy_only=False)
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
+    parts = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        c = b[col]
+        if c.null_count:
+            raise ValueError(
+                f"pull_column_numpy: column {col!r} has {c.null_count} nulls"
+            )
+        parts.append(c.to_numpy(zero_copy_only=False))
     if not parts:
-        return np.empty(0, dtype=dtype if dtype is not None else np.int64)
+        if dtype is not None:
+            return np.empty(0, dtype=dtype)
+        # derive the empty dtype from the schema: a string/binary column
+        # must come back object, not the int64 a bare np.empty would claim
+        try:
+            sch = ds.schema()
+            sch = getattr(sch, "base_schema", sch)
+            f = sch.field(col)
+        except Exception:
+            f = None
+        if f is not None and (
+            pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+            or pa.types.is_binary(f.type)
+            or pa.types.is_large_binary(f.type)
+        ):
+            return np.empty(0, dtype=object)
+        if f is not None:
+            try:
+                return np.empty(0, dtype=f.type.to_pandas_dtype())
+            except Exception:
+                pass
+        return np.empty(0, dtype=np.int64)
     out = np.concatenate(parts)
     return out.astype(dtype, copy=False) if dtype is not None else out
 

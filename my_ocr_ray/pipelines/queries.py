@@ -2533,30 +2533,50 @@ class DecodeVariantsStage:
         return out
 
 
+def decode_render_lines(text: str) -> list[str]:
+    """Rendered line layout for a document's text: ASCII-alnum tokens
+    uppercased and clipped to the renderer's word profile (<=7 chars,
+    <=3 words per line, <=2 lines). Plain string ops over an RE2-shared
+    token regex, so the DuckDB oracle restates it exactly."""
+    import re
+
+    toks = [t.upper()[:7] for t in re.findall(r"[0-9A-Za-z]+", text)[:6]]
+    if not toks:
+        toks = ["X0"]
+    lines = [" ".join(toks[:3])]
+    if len(toks) > 3:
+        lines.append(" ".join(toks[3:6]))
+    return lines
+
+
 def q_decode_variants(sf_dir: str, n_docs: int | None = None):
-    """All four recognizer decode paths over the golden corpus media
-    (rows-only: OCR semantics have no SQL twin; the golden unit test pins
-    every variant's text equal to gt_text)."""
-    import glob
+    """All four recognizer decode paths (CTC greedy, width-5 prefix beam,
+    attention argmax-to-EOS, seg class-map) over media rendered from each
+    document's own text — the decoders are exact on the glyph font, so the
+    DuckDB oracle states every output column from the documents table
+    (same generative-model move as ``pdf_layout`` / ``audio_features``)."""
+    from ..functions.imaging import png_encode, render_text_image
 
-    import pyarrow.parquet as pq
-
-    import ray.data
-
-    from ..synth import ensure_corpus
-
-    if n_docs is None:
-        n_docs = min(
-            500, pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        refs, blobs, gts = [], [], []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            lines = decode_render_lines(t)
+            refs.append(str(i))
+            blobs.append(png_encode(render_text_image(lines, scale=2)))
+            gts.append("\n".join(lines))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+                "gt_text": pa.array(gts, pa.string()),
+            }
         )
-    corpus = ensure_corpus(n_docs, seed=13)
-    media = _png_media(
-        ray.data.read_parquet(
-            sorted(glob.glob(f"{corpus}/media/*.parquet")),
-            columns=["media_ref", "bytes", "gt_text"],
-        )
-    )
-    return media.map_batches(
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if n_docs is not None:
+        docs = docs.limit(n_docs)
+    return docs.map_batches(render, batch_format="pyarrow").map_batches(
         DecodeVariantsStage,
         batch_format="pyarrow",
         # post-optimization the kernel is ~6 ms/row (~6 core-sec total at

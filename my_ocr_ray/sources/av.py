@@ -96,27 +96,42 @@ class WavPcmDecoder(AudioDecoder):
         return samples, rate
 
 
+def synth_pcm(clip_id: int, n_chars: int) -> np.ndarray:
+    """The int16 sample vector :func:`synth_wav` encodes — INTEGER-EXACT
+    (triangle carrier with a clip-keyed period plus a small integer hash
+    "noise" term), so a SQL oracle can restate every sample bit-for-bit
+    with BIGINT arithmetic (no libm sin / PRNG divergence):
+
+        pcm[t] = (|((a*t + cid) % 2048) - 1024| - 512) * 48
+                 + ((1103515245*t + 12345*cid) % 97) - 48,   a = 2*(cid%127)+3
+
+    Max |pcm| = 512*48 + 48 = 24624 < 2^15, so no clipping is needed and
+    the int16 encode is exact."""
+    cid = int(clip_id)
+    n = 800 + 50 * int(n_chars)
+    t = np.arange(n, dtype=np.int64)
+    a = 2 * (cid % 127) + 3
+    tri = np.abs((a * t + cid) % 2048 - 1024) - 512
+    noise = (1103515245 * t + 12345 * cid) % 97 - 48
+    return (tri * 48 + noise).astype("<i2")
+
+
 def synth_wav(clip_id: int, n_chars: int, rate: int = 16000) -> bytes:
     """Deterministic mono 16-bit PCM WAV clip: a pure function of
     (clip_id, n_chars). Length scales with the document (50 samples per
-    char + 800 base); the signal is a clip-keyed sine plus seeded noise so
-    rms / zero-crossing features vary per clip."""
+    char + 800 base); the samples are :func:`synth_pcm`'s integer-exact
+    waveform, which makes the audio-feature query fully SQL-oracle-checkable
+    (the oracle restates the generative model, the Ray side runs the real
+    RIFF/WAVE codec — same move as ``pdf_layout`` / ``url_canonical``)."""
     import io
     import wave
 
-    n = 800 + 50 * int(n_chars)
-    rng = np.random.default_rng((int(clip_id) * 2_654_435_761) & 0x7FFFFFFF)
-    t = np.arange(n, dtype=np.float64)
-    freq = 110.0 * (1 + int(clip_id) % 8)
-    sig = 0.5 * np.sin(2 * np.pi * freq * t / rate)
-    sig += 0.05 * rng.standard_normal(n)
-    pcm = np.clip(sig * 32767.0, -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(synth_pcm(clip_id, n_chars).tobytes())
     return buf.getvalue()
 
 
@@ -132,17 +147,32 @@ class AudioFeatureStage:
         self.decoder = decoder or AudioDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.num import round_away_scalar
+
         rows = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
         for cid, data in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
             samples, sr = self.decoder.decode(data)
+            n = len(samples)
+            # exact-integer sum of squares over the 1/32768 quantization
+            # grid (the DuckDB-parity move from zscore_by_source): rms is
+            # then ONE double expression — sqrt(ssq/n)/32768 — identical in
+            # both engines, so the oracle hash-compares bit-exact instead
+            # of drifting with float32 summation order. For integer-PCM
+            # decoders the quantization is the identity (samples ARE
+            # pcm/32768); for float decoders it adds <3e-5 error, far
+            # below the 6-decimal rounding.
+            q = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+            ssq = int(np.dot(q, q))
             rows["clip_id"].append(cid)
-            rows["n_samples"].append(len(samples))
-            rows["duration_sec"].append(round(len(samples) / sr, 6))
+            rows["n_samples"].append(n)
+            rows["duration_sec"].append(round_away_scalar(n / sr, 6))
             rows["rms"].append(
-                round(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0, 6)
+                round_away_scalar(math.sqrt(ssq / n) / 32768.0, 6) if n else 0.0
             )
             rows["zero_crossings"].append(
-                int(np.count_nonzero(np.diff(np.signbit(samples))))
+                int(np.count_nonzero(np.diff(q < 0)))
             )
         return pa.Table.from_pydict(rows, schema=AUDIO_FEATURE_SCHEMA)
 
@@ -223,6 +253,8 @@ class VideoFrameSampleStage:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.num import round_away_scalar
+
         rows = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
         for cid, data in zip(batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()):
             for idx, frame in enumerate(self.decoder.frames(data)):
@@ -232,5 +264,7 @@ class VideoFrameSampleStage:
                 rows["frame_idx"].append(idx)
                 rows["height"].append(frame.shape[0])
                 rows["width"].append(frame.shape[1])
-                rows["mean_luma"].append(round(float(frame.mean()), 6))
+                # uint8 mean is an exact int/(h*w) double; round_away =
+                # DuckDB round, so the oracle hash-compares bit-exact
+                rows["mean_luma"].append(round_away_scalar(float(frame.mean()), 6))
         return pa.Table.from_pydict(rows, schema=VIDEO_FRAME_SCHEMA)
