@@ -22,10 +22,12 @@ CommonCrawl-style pipelines:
   and the remaining query pairs sorted by key then value — not RFC
   normalization, but the standard crawl-dedup convention (two share-links
   of one page must collide);
-- ``registered_domain`` reduces a host to its registrable suffix+1 using a
-  small embedded list of two-level public suffixes (the container has no
-  publicsuffix data; the list covers the common ccTLD second levels and is
-  the documented seam where the full PSL plugs in).
+- ``registered_domain`` reduces a host to its registrable suffix+1 using
+  the REAL Public Suffix List algorithm (longest-match over exact /
+  ``*.`` wildcard / ``!`` exception rules, implicit ``*`` default) over a
+  checked-in snapshot of publicsuffix.org data
+  (``my_ocr_ray/data/public_suffix_list.dat`` — curated subset; a full
+  PSL drop-in replaces the file unchanged).
 
 Scale shape: pure scalar functions over a batch column — no state, no
 shuffle; callers run them inside ``map_batches`` and aggregate afterwards
@@ -33,6 +35,7 @@ on the (skinny) canonical key.
 """
 from __future__ import annotations
 
+import os
 import re
 
 import pyarrow as pa
@@ -42,17 +45,59 @@ import pyarrow as pa
 TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref")
 _TRACKING_PREFIX = "utm_"
 
-# minimal two-level public-suffix set: hosts ending in one of these keep
-# THREE labels in registered_domain (seam: swap in the full PSL offline)
-_TWO_LEVEL_SUFFIXES = frozenset(
-    {
-        "co.uk", "ac.uk", "gov.uk", "org.uk",
-        "com.au", "net.au", "org.au",
-        "co.jp", "ne.jp", "or.jp",
-        "com.br", "com.cn", "com.mx", "com.tr",
-        "co.in", "co.kr", "co.nz", "co.za",
-    }
+# --- Public Suffix List (publicsuffix.org algorithm over the checked-in
+# snapshot). Parsed once per process at first use; the three rule classes
+# are plain frozensets so a lookup is O(#labels) set probes, no trie needed
+# (hot-path cost is ~3 probes/host inside map_batches).
+_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data", "public_suffix_list.dat"
 )
+_PSL_RULES: tuple[frozenset, frozenset, frozenset] | None = None
+
+
+def _load_psl() -> tuple[frozenset, frozenset, frozenset]:
+    """(exact, wildcard-bases, exceptions) rule sets from the snapshot.
+
+    A wildcard rule ``*.kobe.jp`` is stored as its base ``kobe.jp``; an
+    exception ``!city.kobe.jp`` as ``city.kobe.jp``. ICANN vs PRIVATE
+    section is irrelevant to matching, so the markers are just comments.
+    """
+    global _PSL_RULES
+    if _PSL_RULES is None:
+        exact, wild, exc = set(), set(), set()
+        with open(_PSL_PATH, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    continue
+                if line.startswith("!"):
+                    exc.add(line[1:])
+                elif line.startswith("*."):
+                    wild.add(line[2:])
+                else:
+                    exact.add(line)
+        _PSL_RULES = (frozenset(exact), frozenset(wild), frozenset(exc))
+    return _PSL_RULES
+
+
+def public_suffix(host: str) -> str:
+    """The host's public suffix per the PSL algorithm: the longest matching
+    rule wins; an exception rule beats wildcards and names the suffix one
+    label SHORTER than itself; with no match the implicit ``*`` default
+    makes the last label the suffix."""
+    exact, wild, exc = _load_psl()
+    labels = host.split(".")
+    # scan candidate suffixes longest-first so the first hit is the winner
+    for i in range(len(labels)):
+        cand = ".".join(labels[i:])
+        if cand in exc:
+            return ".".join(labels[i + 1 :])  # exception: suffix is its tail
+        if cand in exact:
+            return cand
+        # "*.base" matches <label>.base — the wildcard consumes one label
+        if i + 1 < len(labels) and ".".join(labels[i + 1 :]) in wild:
+            return cand
+    return labels[-1]
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
@@ -185,17 +230,21 @@ def url_host(url: str) -> str:
 
 
 def registered_domain(host: str) -> str:
-    """suffix+1 registrable domain: ``www.docs.example.com`` ->
-    ``example.com``; ``a.b.co.uk`` -> ``b.co.uk`` (embedded two-level
-    suffix list).  IPs and single-label hosts are returned unchanged."""
+    """suffix+1 registrable domain over the PSL snapshot:
+    ``www.docs.example.com`` -> ``example.com``; ``a.b.co.uk`` ->
+    ``b.co.uk``; ``foo.github.io`` -> ``foo.github.io`` (private-section
+    suffix).  IPs and single-label hosts are returned unchanged, and a
+    host that IS a public suffix (``co.uk``) comes back unchanged too —
+    crawl keys must never be empty."""
     if not host or host.startswith("[") or host.replace(".", "").isdigit():
         return host
     labels = host.split(".")
     if len(labels) < 2:
         return host
-    if ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES and len(labels) >= 3:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    n_suffix = public_suffix(host).count(".") + 1
+    if n_suffix >= len(labels):
+        return host
+    return ".".join(labels[-(n_suffix + 1) :])
 
 
 def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:

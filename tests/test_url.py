@@ -101,6 +101,59 @@ class TestHostDomain:
         assert registered_domain("localhost") == "localhost"
         assert registered_domain("") == ""
 
+    def test_psl_multi_level_suffixes(self):
+        # three-level ICANN rules from the snapshot
+        assert registered_domain("www.example.k12.ca.us") == "example.k12.ca.us"
+        assert registered_domain("shop.example.com.au") == "example.com.au"
+        assert registered_domain("a.b.c.gov.uk") == "c.gov.uk"
+        assert registered_domain("x.y.police.uk") == "y.police.uk"
+
+    def test_psl_wildcard_rules(self):
+        # *.sch.uk: every school is its own registrable domain
+        assert registered_domain("www.st-marys.sch.uk") == "www.st-marys.sch.uk"
+        assert (
+            registered_domain("pupil.www.st-marys.sch.uk")
+            == "www.st-marys.sch.uk"
+        )
+        # wildcard-only TLD *.bd
+        assert registered_domain("example.com.bd") == "example.com.bd"
+        assert registered_domain("www.example.com.bd") == "example.com.bd"
+
+    def test_psl_exception_rules(self):
+        # !www.ck punches through *.ck
+        assert registered_domain("www.ck") == "www.ck"
+        assert registered_domain("foo.www.ck") == "www.ck"
+        assert registered_domain("shop.other.ck") == "shop.other.ck"
+        # jp designated-city wildcards with the !city.* exceptions
+        assert registered_domain("city.kobe.jp") == "city.kobe.jp"
+        assert registered_domain("ward.city.kobe.jp") == "city.kobe.jp"
+        assert registered_domain("a.b.kobe.jp") == "a.b.kobe.jp"
+
+    def test_psl_private_section(self):
+        assert registered_domain("user.github.io") == "user.github.io"
+        assert registered_domain("a.user.github.io") == "user.github.io"
+        assert registered_domain("myapp.herokuapp.com") == "myapp.herokuapp.com"
+        assert (
+            registered_domain("vm.us-east-1.compute.amazonaws.com")
+            == "vm.us-east-1.compute.amazonaws.com"
+        )
+        assert registered_domain("blog.blogspot.co.uk") == "blog.blogspot.co.uk"
+
+    def test_psl_suffix_itself_unchanged(self):
+        # a host that IS a public suffix must not collapse to ""
+        assert registered_domain("co.uk") == "co.uk"
+        assert registered_domain("github.io") == "github.io"
+        # unknown TLD falls through to the implicit '*' default rule
+        assert registered_domain("www.example.unknowntld") == "example.unknowntld"
+
+    def test_public_suffix_direct(self):
+        from my_ocr_ray.functions.url import public_suffix
+
+        assert public_suffix("www.example.co.uk") == "co.uk"
+        assert public_suffix("foo.city.kobe.jp") == "kobe.jp"
+        assert public_suffix("x.anything.kobe.jp") == "anything.kobe.jp"
+        assert public_suffix("example.zz") == "zz"
+
 
 class TestBatch:
     def test_batch_appends_columns_and_handles_null(self):
