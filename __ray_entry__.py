@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": Q.q_ann_ivf,
         "knn_graph": Q.q_knn_graph,
         "knn_graph_ivf": Q.q_knn_graph_ivf,  # rows-only: approximate by construction
+        "knn_graph_auto": Q.q_knn_graph_auto,  # data-routed exact/IVF default
         "curate": Q.q_curate,
         "repetition": Q.q_repetition,
         "tfidf": Q.q_tfidf,
@@ -1187,6 +1188,22 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rn <= 5
         """,
         "knn_graph": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                     list_cosine_similarity(a.ve, b.ve) AS sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, nbr_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nbr_id) AS rn
+              FROM s)
+        SELECT vec_id, CAST(rn AS BIGINT) AS rank, nbr_id,
+               round(sim, 6) AS sim
+        FROM r WHERE rn <= 3
+        """,
+        # knn_graph_auto routes exact below KNN_EXACT_MAX_ROWS (always true
+        # at sf table sizes), so its oracle is knn_graph's SQL; the routing
+        # threshold and the IVF route are pinned in unit tests
+        "knn_graph_auto": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
                      list_cosine_similarity(a.ve, b.ve) AS sim

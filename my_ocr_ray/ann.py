@@ -420,6 +420,47 @@ def knn_graph_ivf(
     )
 
 
+# Exact kNN holds the full (ids, unit-matrix) build side in every actor:
+# at float64 x 64 dims that is ~0.5 KB/row, so 200k rows ~ 100 MB/actor —
+# comfortably inside a worker heap; past it the broadcast is the wrong
+# default and the cell-exchanged IVF path takes over (same output schema,
+# recall < 1, pinned in tests). Same shape as extract()'s media
+# broadcast-vs-join auto-switch: callers state intent, data picks the plan.
+KNN_EXACT_MAX_ROWS = 200_000
+
+
+def choose_knn_strategy(n_rows: int, max_exact_rows: int = KNN_EXACT_MAX_ROWS) -> str:
+    """'exact' while the whole build side fits one actor's heap, else 'ivf'."""
+    return "exact" if n_rows <= max_exact_rows else "ivf"
+
+
+def knn_graph_auto(
+    emb_ds,
+    k: int = 3,
+    max_exact_rows: int = KNN_EXACT_MAX_ROWS,
+    n_rows: int | None = None,
+    nprobe: int = 2,
+    n_centroids: int | None = None,
+):
+    """kNN self-join with data-selected strategy — the default entry point.
+
+    Counts rows (parquet-metadata cheap on an untransformed read; pass
+    ``n_rows`` when the caller already knows it) and routes: small corpora
+    take the zero-exchange exact kernel (:func:`knn_graph`), large ones the
+    IVF cell exchange (:func:`knn_graph_ivf`) with ``~sqrt(n)`` centroids
+    trained by the streaming k-means pass. Output schema is identical on
+    both routes; the IVF route is approximate by construction.
+    """
+    if n_rows is None:
+        n_rows = emb_ds.count()
+    if choose_knn_strategy(n_rows, max_exact_rows) == "exact":
+        return knn_graph(emb_ds, k=k)
+    if n_centroids is None:
+        n_centroids = max(16, int(np.sqrt(n_rows)))
+    cents = train_ivf_centroids(emb_ds, n_centroids, n_iters=3)
+    return knn_graph_ivf(emb_ds, cents, k=k, nprobe=nprobe)
+
+
 def _cov_stats(emb_ds):
     """One streaming pass -> (S = sum of outer products [d x d], colsum
     [d], n): per-batch ``X.T @ X`` / column-sum partials flattened into

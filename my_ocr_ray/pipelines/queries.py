@@ -1769,6 +1769,20 @@ def q_knn_graph_ivf(sf_dir: str):
     )
 
 
+def q_knn_graph_auto(sf_dir: str):
+    """Data-routed kNN self-join (the default entry point): exact while the
+    build side fits one actor's heap, IVF cell exchange past
+    KNN_EXACT_MAX_ROWS. At sf table sizes this routes exact, so the oracle
+    is the same SQL as knn_graph — the routing threshold itself is pinned
+    in unit tests, and the forced-IVF route by recall tests."""
+    from ..ann import knn_graph_auto
+
+    return knn_graph_auto(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"], min_blocks=32),
+        k=3,
+    )
+
+
 def q_length_outliers(sf_dir: str):
     """Per-language z-score length outliers: docs with |n_chars - mean| >
     1.5 * stddev_samp of their language stratum."""

@@ -579,6 +579,64 @@ def test_knn_graph_ivf_recall_against_exact(ray_session):
     assert top1_hits / len(vecs) >= 0.9
 
 
+def test_knn_strategy_threshold():
+    """Routing is a pure function of row count vs the exact-build budget."""
+    from my_ocr_ray.ann import KNN_EXACT_MAX_ROWS, choose_knn_strategy
+
+    assert choose_knn_strategy(100) == "exact"
+    assert choose_knn_strategy(KNN_EXACT_MAX_ROWS) == "exact"
+    assert choose_knn_strategy(KNN_EXACT_MAX_ROWS + 1) == "ivf"
+    assert choose_knn_strategy(10, max_exact_rows=5) == "ivf"
+
+
+def test_knn_graph_auto_routes_both_paths(ray_session):
+    """Below the budget auto == exact bit-for-bit; forcing the budget down
+    takes the IVF route (same schema, high top-1 recall on clustered data)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from my_ocr_ray.ann import knn_graph, knn_graph_auto
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = np.vstack(
+        [c + rng.normal(size=(25, 16)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    exact = {
+        (r["vec_id"], r["rank"]): (r["nbr_id"], r["sim"])
+        for r in knn_graph(ds, k=3).take_all()
+    }
+
+    # exact route: identical output
+    auto = {
+        (r["vec_id"], r["rank"]): (r["nbr_id"], r["sim"])
+        for r in knn_graph_auto(ds, k=3).take_all()
+    }
+    assert auto == exact
+
+    # ivf route (budget forced below corpus size): valid shape + recall
+    approx = {}
+    for r in knn_graph_auto(
+        ds, k=3, max_exact_rows=10, n_centroids=4, nprobe=2
+    ).take_all():
+        approx[(r["vec_id"], r["rank"])] = r["nbr_id"]
+        assert r["vec_id"] != r["nbr_id"]
+    assert len({s for s, _ in approx}) == len(vecs)
+    top1_hits = sum(
+        1 for i in range(len(vecs)) if approx.get((i, 1)) == exact[(i, 1)][0]
+    )
+    assert top1_hits / len(vecs) >= 0.9
+
+
 def test_source_overlap_counts_cross_source_pairs(ray_session):
     """Same prefix within one source does NOT count; cross-source shared
     prefixes count once per doc pair with sources ordered."""
