@@ -208,7 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": Q.q_audio_features,  # full oracle (integer-exact WAV model)
         "decode_variants": Q.q_decode_variants,  # full oracle (decoders exact on the glyph font)
         "url_canonical": Q.q_url_canonical,
-        "url_host_stats": Q.q_url_host_stats,
+        "video_frames": Q.q_video_frames,  # full oracle (generator gradient restated in SQL)
         # --- past the driver's 50-entry window (same families) ---
         "extract_strip": Q.q_extract_strip,          # extract-family twin
         "sessionize_salted": Q.q_sessionize_salted,  # sessionize twin (skew path)
@@ -217,7 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": Q.q_winnow_pairs,
         "drop_dup_passages": Q.q_drop_dup_passages,
         "token_budget": Q.q_token_budget,
-        "video_frames": Q.q_video_frames,  # full oracle (generator gradient restated in SQL)
+        "url_host_stats": Q.q_url_host_stats,  # url family keeps 2 in-window rows
         "interval_merge_salted": Q.q_interval_merge_salted,
         "ocr_eval": Q.q_ocr_eval,
         "rotate_tta": Q.q_rotate_tta,  # rows-only: OCR TTA has no SQL twin
