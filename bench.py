@@ -38,17 +38,31 @@ GATE_RETRY_SEC = 60
 GATE_TIMEOUT_SEC = 1200
 
 
-def _host_busy_pct(interval: float = GATE_INTERVAL_SEC) -> float:
-    def snap():
-        with open("/proc/stat") as f:
-            vals = list(map(int, f.readline().split()[1:]))
-        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+def _stat_snap() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), vals[3] + vals[4], steal
 
-    t0, i0 = snap()
+
+def _host_busy_pct(interval: float = GATE_INTERVAL_SEC) -> float:
+    t0, i0, _ = _stat_snap()
     time.sleep(interval)
-    t1, i1 = snap()
+    t1, i1, _ = _stat_snap()
     total = t1 - t0
     return 100.0 * (1 - (i1 - i0) / total) if total else 0.0
+
+
+def _leg_steal_pct(before, after) -> float:
+    """Hypervisor steal% ACROSS a leg (between two _stat_snap()s) — the
+    direct measurement of foreign load arriving DURING the measurement,
+    which the pre-leg idle gate by construction cannot see. This VM runs
+    on a shared host: the round-4 'polluted window' audits (both leg
+    tiers suppressed together on fixed code) are exactly what nonzero
+    steal looks like."""
+    total = after[0] - before[0]
+    return 100.0 * (after[2] - before[2]) / total if total else 0.0
 
 
 def _gate_idle_window(label: str) -> dict:
@@ -219,27 +233,52 @@ def main() -> None:
         # reported efficiency is the MEDIAN over the pairs (below).
         gates: list[dict] = []
 
-        def one_run(cpus: int, pair_idx: int) -> float:
+        def one_run(cpus: int, pair_idx: int) -> tuple[float, float]:
             # idle-gate every leg: defer while foreign CPU load is present,
             # and record the per-leg (busy%, load1) evidence next to the
             # measurement so a polluted window is visible in the data, not
-            # just in after-the-fact prose.
+            # just in after-the-fact prose. The gate samples BEFORE the
+            # leg; hypervisor steal measured ACROSS the leg catches foreign
+            # load that arrives during it -> (docs_per_sec, steal_pct).
             gates.append(_gate_idle_window(f"pair{pair_idx} cpus={cpus}"))
             cmd = [sys.executable, __file__, "--flagship-only",
                    "--cpus", str(cpus), "--n-docs", str(n_docs),
                    "--media", args.media]
             env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+            before = _stat_snap()
             out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            steal = _leg_steal_pct(before, _stat_snap())
+            gates[-1]["leg_steal_pct"] = round(steal, 2)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            return json.loads(line)["docs_per_sec"]
+            return json.loads(line)["docs_per_sec"], steal
 
         # MEDIAN of >= 3 interleaved pairs (round-3): headlining the
         # cleanest pair is a best-of selection; the median is robust to one
         # polluted window in either direction while still ignoring a single
-        # outlier pair.
+        # outlier pair. A pair either of whose legs ran under measurable
+        # hypervisor steal is re-run (bounded retries): its throughputs
+        # measure the neighbors' load, not this engine.
+        MAX_LEG_STEAL_PCT = 1.0
+        PAIR_RETRIES = 2
         pairs = []
         for attempt in range(3):  # first pair also warms the page cache
-            pairs.append((one_run(8, attempt), one_run(32, attempt)))
+            for retry in range(PAIR_RETRIES + 1):
+                (a, s8), (b, s32) = one_run(8, attempt), one_run(32, attempt)
+                if max(s8, s32) <= MAX_LEG_STEAL_PCT or retry == PAIR_RETRIES:
+                    if max(s8, s32) > MAX_LEG_STEAL_PCT:
+                        print(
+                            f"# pair {attempt}: steal ({s8:.2f}%, {s32:.2f}%) "
+                            f"still above {MAX_LEG_STEAL_PCT}% after "
+                            f"{PAIR_RETRIES} retries; recording as-is",
+                            file=sys.stderr,
+                        )
+                    break
+                print(
+                    f"# pair {attempt} retry {retry + 1}: leg steal "
+                    f"({s8:.2f}%, {s32:.2f}%) > {MAX_LEG_STEAL_PCT}%",
+                    file=sys.stderr,
+                )
+            pairs.append((a, b))
         effs = sorted((b / a) / 4.0 for a, b in pairs)
         eff = effs[len(effs) // 2]
         t8, t32 = next(p for p in pairs if abs((p[1] / p[0]) / 4.0 - eff) < 1e-12)
@@ -341,7 +380,9 @@ def _run_endurance(
     th = threading.Thread(target=sampler, daemon=True)
     th.start()
     gate = _gate_idle_window(f"endurance cpus={num_cpus}")
+    before = _stat_snap()
     flag = run_flagship(n_docs, num_cpus, out_dir, media=media)
+    gate["leg_steal_pct"] = round(_leg_steal_pct(before, _stat_snap()), 2)
     stop.set()
     th.join()
     spilled = _spill_bytes()
@@ -371,7 +412,8 @@ def _run_endurance(
             f"{payload['object_store_total_gb']} GiB; spilled "
             f"{payload['spilled_gb']} GiB\n"
             f"- idle gate at launch: busy {gate['busy_pct']}%, "
-            f"load1 {gate['load1']}\n"
+            f"load1 {gate['load1']}; hypervisor steal across the run: "
+            f"{gate['leg_steal_pct']}%\n"
         )
     ray.shutdown()
 
@@ -399,10 +441,11 @@ def _record_baseline(payload: dict) -> None:
         )
     if payload.get("gates"):
         lines.append(
-            "- idle gate per leg (busy%, load1, waited_s): "
+            "- per leg (gate busy%, load1, waited_s | steal% ACROSS leg): "
             + "; ".join(
                 f"{g['leg']}: ({g['busy_pct']}, {g['load1']}, "
-                f"{g['gate_waited_sec']}{'' if g['gated_ok'] else ', TIMEOUT'})"
+                f"{g['gate_waited_sec']}{'' if g['gated_ok'] else ', TIMEOUT'}"
+                f" | {g.get('leg_steal_pct', '?')})"
                 for g in payload["gates"]
             )
         )
