@@ -258,7 +258,10 @@ def main() -> None:
         # outlier pair. A pair either of whose legs ran under measurable
         # hypervisor steal is re-run (bounded retries): its throughputs
         # measure the neighbors' load, not this engine.
-        MAX_LEG_STEAL_PCT = 1.0
+        # our saturated leg demands every vCPU, so even light neighbor
+        # activity registers as steal; the suppressed windows measured
+        # >30% effective loss, so 2% separates signal from scheduler noise
+        MAX_LEG_STEAL_PCT = 2.0
         PAIR_RETRIES = 2
         pairs = []
         for attempt in range(3):  # first pair also warms the page cache
